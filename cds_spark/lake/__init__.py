@@ -1,0 +1,1 @@
+from cds_spark.lake.table import LakeTable  # noqa: F401

@@ -1,0 +1,257 @@
+"""Change-event decode: raw bytes/JSON -> normalized c/u/d events.
+
+The reference normalizes four wire dialects to one internal interface
+(cmd/rtu/model/common.go:13-18):
+
+- canal-mysql          (cmd/rtu/model/canalsyncmodel.go:12-23, 204-220)
+- debezium-mysql       (cmd/rtu/model/common.go:81-85)
+- debezium-mongodb     (cmd/rtu/model/common.go:86-91)
+- connector-mongodb    (cmd/rtu/model/connectormongomodel.go:11-28)
+
+Spark-first: every dialect is a ``from_json`` + column expressions — fully
+JVM-side, whole-stage-codegen'd, no Python in the decode hot path. (The
+reference benchmarked jsoniter for the same reason, parse_test.go:78-94.)
+Values are carried as ``map<string,string>`` (the reference's ValueMap,
+common.go:93-95); nested objects should be pre-serialized to JSON strings
+upstream exactly as the reference does (connectormongomodel.go:169-178).
+
+Normalized output schema (one row per change):
+    op          string      'c' | 'u' | 'd'
+    data        map<string,string>   after-image (c/u) or key-only (d)
+    exists      array<string>        columns the event actually carried
+                                     (partial-update mask, common.go:49-56)
+    _partition  int/long    source partition (lineage)
+    _offset     long        source offset (version tiebreak + lineage)
+
+Unparseable messages are split to a DLQ, mirroring the `{topic}-failed`
+producer (pkg/tube/kfks.go:53-58, 201-211).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MAP_SS = T.MapType(T.StringType(), T.StringType())
+
+NORMALIZED_FIELDS = ["op", "data", "exists", "_partition", "_offset"]
+
+# op whitelists — canalsyncmodel.go:71-88, connectormongomodel.go:74-101,
+# debeziumsyncmodel.go:150-151 ('r' snapshot reads dropped)
+_OP_NORMALIZE = {
+    "insert": "c",
+    "INSERT": "c",
+    "replace": "c",
+    "create": "c",
+    "c": "c",
+    "update": "u",
+    "UPDATE": "u",
+    "u": "u",
+    "delete": "d",
+    "DELETE": "d",
+    "d": "d",
+}
+
+
+def _norm_op(col):
+    mapping = F.create_map(*[F.lit(x) for kv in _OP_NORMALIZE.items() for x in kv])
+    return mapping[col]
+
+
+def _finish(df: DataFrame, partition_col: str | None, offset_col: str | None) -> DataFrame:
+    part = F.col(partition_col) if partition_col else F.lit(0)
+    off = F.col(offset_col) if offset_col else F.monotonically_increasing_id()
+    return df.select(
+        "op",
+        "data",
+        "exists",
+        part.cast("long").alias("_partition"),
+        off.cast("long").alias("_offset"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dialects
+# ---------------------------------------------------------------------------
+
+
+def decode_canal(
+    df: DataFrame,
+    value_col: str = "value",
+    partition_col: str | None = None,
+    offset_col: str | None = None,
+) -> DataFrame:
+    """canal-mysql: ``{type, data:[{...}], old:[{...}]}`` — one message holds
+    a *batch* of rows (canalsyncmodel.go:204-220) -> explode to one event per
+    row. DELETE rows are key+before-image; type whitelist filters DDL etc."""
+    schema = T.StructType(
+        [
+            T.StructField("type", T.StringType()),
+            T.StructField("data", T.ArrayType(MAP_SS)),
+            T.StructField("old", T.ArrayType(MAP_SS)),
+        ]
+    )
+    p = df.withColumn("_e", F.from_json(F.col(value_col), schema))
+    p = p.withColumn("op", _norm_op(F.col("_e.type"))).filter(F.col("op").isNotNull())
+    p = p.select("*", F.posexplode_outer(F.col("_e.data")).alias("_rowpos", "data"))
+    p = p.withColumn("exists", F.map_keys(F.coalesce(F.col("data"), F.lit(None).cast(MAP_SS))))
+    return _finish(p, partition_col, offset_col)
+
+
+def decode_debezium_mysql(
+    df: DataFrame,
+    value_col: str = "value",
+    partition_col: str | None = None,
+    offset_col: str | None = None,
+) -> DataFrame:
+    """debezium-mysql: ``{payload:{before, after, op}}``; 'r' snapshot events
+    dropped; delete uses before-image (debeziumsyncmodel.go:88-156)."""
+    schema = T.StructType(
+        [
+            T.StructField(
+                "payload",
+                T.StructType(
+                    [
+                        T.StructField("before", MAP_SS),
+                        T.StructField("after", MAP_SS),
+                        T.StructField("op", T.StringType()),
+                    ]
+                ),
+            )
+        ]
+    )
+    p = df.withColumn("_e", F.from_json(F.col(value_col), schema))
+    p = p.withColumn("op", _norm_op(F.col("_e.payload.op"))).filter(F.col("op").isNotNull())
+    p = p.withColumn(
+        "data",
+        F.when(F.col("op") == "d", F.col("_e.payload.before")).otherwise(
+            F.col("_e.payload.after")
+        ),
+    )
+    p = p.withColumn("exists", F.map_keys(F.col("data")))
+    return _finish(p, partition_col, offset_col)
+
+
+def decode_connector_mongo(
+    df: DataFrame,
+    value_col: str = "value",
+    partition_col: str | None = None,
+    offset_col: str | None = None,
+) -> DataFrame:
+    """connector-mongodb change stream: ``{operationType, fullDocument,
+    documentKey, updateDescription:{updatedFields, removedFields}}``
+    (connectormongomodel.go:11-28). updates are PARTIAL: data = documentKey
+    + updatedFields; removedFields are reset to defaults via the exists mask
+    (connectormongomodel.go:104-119)."""
+    schema = T.StructType(
+        [
+            T.StructField("operationType", T.StringType()),
+            T.StructField("fullDocument", MAP_SS),
+            T.StructField("documentKey", MAP_SS),
+            T.StructField(
+                "updateDescription",
+                T.StructType(
+                    [
+                        T.StructField("updatedFields", MAP_SS),
+                        T.StructField("removedFields", T.ArrayType(T.StringType())),
+                    ]
+                ),
+            ),
+        ]
+    )
+    p = df.withColumn("_e", F.from_json(F.col(value_col), schema))
+    p = p.withColumn("op", _norm_op(F.col("_e.operationType"))).filter(F.col("op").isNotNull())
+    upd = F.map_concat(
+        F.coalesce(F.col("_e.documentKey"), F.lit(None).cast(MAP_SS)),
+        F.coalesce(F.col("_e.updateDescription.updatedFields"), F.lit(None).cast(MAP_SS)),
+    )
+    p = p.withColumn(
+        "data",
+        F.when(F.col("op") == "c", F.col("_e.fullDocument"))
+        .when(F.col("op") == "u", upd)
+        .otherwise(F.col("_e.documentKey")),
+    )
+    p = p.withColumn("exists", F.map_keys(F.col("data")))
+    return _finish(p, partition_col, offset_col)
+
+
+def decode_feed(
+    df: DataFrame,
+    payload_col: str = "payload",
+    op_col: str = "op",
+    partition_col: str | None = "partition",
+    offset_col: str | None = "offset",
+    inject: dict[str, str] | None = None,
+) -> DataFrame:
+    """The fixture F2 feed (FIXTURES.md): op given, payload = flat JSON
+    after-image for c/u, key-only for d — a simplified Debezium envelope.
+
+    ``inject`` maps data keys to envelope columns merged under the payload
+    (payload wins on conflict — requires mapKeyDedupPolicy=LAST_WIN, set by
+    :func:`cds_spark.session.get_spark`). Used to carry the envelope version
+    column (``commit``) into delete events whose payload is key-only."""
+    p = df.withColumn("op", _norm_op(F.col(op_col))).filter(F.col("op").isNotNull())
+    p = p.withColumn("data", F.from_json(F.col(payload_col), MAP_SS))
+    if inject:
+        env = F.create_map(
+            *[x for k, src in inject.items() for x in (F.lit(k), F.col(src).cast("string"))]
+        )
+        p = p.withColumn(
+            "data", F.when(F.col("data").isNotNull(), F.map_concat(env, F.col("data")))
+        )
+    p = p.withColumn("exists", F.map_keys(F.col("data")))
+    return _finish(p, partition_col, offset_col)
+
+
+# ---------------------------------------------------------------------------
+# normalized events -> typed rows (+ DLQ split)
+# ---------------------------------------------------------------------------
+
+
+def events_to_rows(
+    events: DataFrame,
+    table_schema: T.StructType,
+    pk: Sequence[str],
+    version_cols: Sequence[str] = (),
+) -> tuple[DataFrame, DataFrame]:
+    """Project normalized events onto the target table schema.
+
+    Returns ``(rows, dlq)``:
+    - rows: typed columns per ``table_schema`` + ``_op``/``_is_delete`` +
+      lineage/version passthrough. Missing cells -> NULL (the lake keeps
+      NULL; reads can substitute type defaults) — parse.go:150-157.
+    - dlq: events rejected for missing PK (parse.go:141-144,
+      insert.go:13-14) or undecodable payload.
+    """
+    from cds_spark.schema import coerce
+
+    # one select: typed table columns (NULL when the event didn't carry the
+    # column — the exists mask gates coercion so absent != empty-string) +
+    # meta columns. Whole plan stays in a single codegen stage.
+    sel = [
+        F.when(
+            F.array_contains(F.col("exists"), f.name),
+            coerce(F.col("data").getItem(f.name), f.dataType),
+        )
+        .otherwise(F.lit(None).cast(f.dataType))
+        .alias(f.name)
+        for f in table_schema.fields
+    ]
+    full = events.select(
+        *sel,
+        F.col("op").alias("_op"),
+        (F.col("op") == "d").alias("_is_delete"),
+        F.col("_partition"),
+        F.col("_offset"),
+        F.col("data").alias("_raw"),
+    )
+    pk_ok = F.lit(True)
+    for k in pk:
+        pk_ok = pk_ok & F.col(k).isNotNull() & (F.col(k).cast("string") != "")
+    decoded_ok = F.col("_raw").isNotNull()
+    dlq = full.filter(~(pk_ok & decoded_ok))
+    good = full.filter(pk_ok & decoded_ok).drop("_raw")
+    return good, dlq

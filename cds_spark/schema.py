@@ -1,0 +1,245 @@
+"""Type lattice, lenient coercion, and schema-evolution planning.
+
+Mirrors the reference's semantics (not its code):
+
+- 4-type internal lattice String/Int/Float/Time with per-type null defaults
+  ("", 0, 0.0, epoch) — reference cmd/rtu/model/debeziumsyncdatatype.go:12-28.
+- lenient, never-fail value coercion (string->int fallback 0, multi-layout
+  time parse fallback epoch) — reference cmd/rtu/model/canalsyncmodel.go:100-146,
+  debeziumsyncdatatype.go:156-170.
+- numeric widening Int32->Int64->Float64 — reference
+  cmd/dm/util/clickhousetypeconv.go:55-105.
+- new-column type inference from JSON values (float->double, int->long,
+  string->string, object->json string) — reference cmd/rtu/handle/parse.go:190-207.
+
+All coercions are JVM expressions (try_cast / coalesce / try_to_timestamp):
+no per-row Python anywhere in the hot path.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# type lattice
+# ---------------------------------------------------------------------------
+
+EPOCH = "1970-01-01 00:00:00"
+
+#: per-type null defaults, reference debeziumsyncdatatype.go:22-28 (NullValMap)
+DEFAULTS = {
+    T.StringType(): "",
+    T.LongType(): 0,
+    T.DoubleType(): 0.0,
+    T.TimestampType(): EPOCH,
+}
+
+_NUMERIC_RANK = {
+    "byte": 0,
+    "short": 1,
+    "integer": 2,
+    "long": 3,
+    "float": 4,
+    "double": 5,
+}
+
+
+def widen(a: T.DataType, b: T.DataType) -> T.DataType:
+    """Least-upper-bound of two scalar types under the widening lattice.
+
+    byte < short < int < long < double, float < double, date < timestamp;
+    anything incompatible degrades to string (the reference serializes
+    unknown/nested values to strings — connectormongomodel.go:169-178).
+    """
+    if a == b:
+        return a
+    an, bn = a.typeName(), b.typeName()
+    if an in _NUMERIC_RANK and bn in _NUMERIC_RANK:
+        hi = max(_NUMERIC_RANK[an], _NUMERIC_RANK[bn])
+        # int64 + float32/64 -> double (exact reference behavior: Float64)
+        if hi >= 4 or {an, bn} & {"float", "double"}:
+            return T.DoubleType()
+        return {0: T.ByteType(), 1: T.ShortType(), 2: T.IntegerType(), 3: T.LongType()}[hi]
+    if {an, bn} == {"date", "timestamp"}:
+        return T.TimestampType()
+    return T.StringType()
+
+
+def is_widening(frm: T.DataType, to: T.DataType) -> bool:
+    """True if ``frm`` can be promoted to ``to`` without information loss."""
+    return widen(frm, to) == to
+
+
+# ---------------------------------------------------------------------------
+# lenient coercion (JVM expressions)
+# ---------------------------------------------------------------------------
+
+#: multi-layout timestamp parsing, reference model/common.go:126-152 — ordered
+#: most-specific first; epoch-ms and epoch-s integers are also accepted.
+TIME_LAYOUTS = [
+    "yyyy-MM-dd HH:mm:ss.SSS",
+    "yyyy-MM-dd HH:mm:ss",
+    "yyyy-MM-dd'T'HH:mm:ss.SSSXXX",
+    "yyyy-MM-dd'T'HH:mm:ssXXX",
+    "yyyy-MM-dd'T'HH:mm:ss",
+    "yyyy-MM-dd",
+    "yyyy/MM/dd HH:mm:ss",
+]
+
+
+def lenient_long(c: Column) -> Column:
+    """string/number -> long; non-numeric -> 0 (canalsyncmodel.go:100-146)."""
+    return F.coalesce(
+        c.try_cast("long"),
+        c.try_cast("double").cast("long"),
+        F.lit(0),
+    )
+
+
+def lenient_double(c: Column) -> Column:
+    return F.coalesce(c.try_cast("double"), F.lit(0.0))
+
+
+def lenient_timestamp(c: Column) -> Column:
+    """Multi-layout parse; integers treated as epoch ms (>=10^12) or s;
+    unparseable -> epoch (debeziumsyncdatatype.go:156-170)."""
+    s = c.cast("string")
+    as_long = s.try_cast("long")
+    candidates = [F.try_to_timestamp(s, F.lit(fmt)) for fmt in TIME_LAYOUTS]
+    epoch_like = F.when(
+        as_long.isNotNull(),
+        F.when(F.abs(as_long) >= F.lit(10**12), F.timestamp_millis(as_long)).otherwise(
+            F.timestamp_seconds(as_long)
+        ),
+    )
+    return F.coalesce(*candidates, epoch_like, F.lit(EPOCH).cast("timestamp"))
+
+
+def lenient_string(c: Column) -> Column:
+    return F.coalesce(c.cast("string"), F.lit(""))
+
+
+def coerce(c: Column, dt: T.DataType, lenient: bool = True) -> Column:
+    """Cast a (usually string) column to a target type with the reference's
+    never-fail fallback semantics."""
+    if not lenient:
+        return c.cast(dt)
+    tn = dt.typeName()
+    if tn in ("byte", "short", "integer", "long"):
+        return lenient_long(c).cast(dt)
+    if tn in ("float", "double"):
+        return lenient_double(c).cast(dt)
+    if tn == "timestamp":
+        return lenient_timestamp(c)
+    if tn == "date":
+        return lenient_timestamp(c).cast("date")
+    if tn == "boolean":
+        return F.coalesce(c.try_cast("boolean"), F.lit(False))
+    return lenient_string(c)
+
+
+def default_literal(dt: T.DataType) -> Column:
+    """Type default for a missing column (NullValMap semantics)."""
+    tn = dt.typeName()
+    if tn in ("byte", "short", "integer", "long"):
+        return F.lit(0).cast(dt)
+    if tn in ("float", "double"):
+        return F.lit(0.0).cast(dt)
+    if tn == "timestamp":
+        return F.lit(EPOCH).cast("timestamp")
+    if tn == "boolean":
+        return F.lit(False)
+    return F.lit("")
+
+
+# ---------------------------------------------------------------------------
+# schema evolution planning
+# ---------------------------------------------------------------------------
+
+def infer_json_type(value) -> T.DataType:
+    """cds's new-column inference from a sample JSON value (parse.go:190-207)."""
+    if isinstance(value, bool):
+        return T.StringType()  # reference maps bool -> LowCardinality(String)
+    if isinstance(value, int):
+        return T.LongType()
+    if isinstance(value, float):
+        return T.DoubleType()
+    if isinstance(value, (dict, list)):
+        return T.StringType()  # nested -> JSON string
+    return T.StringType()
+
+
+def discover_new_columns(df: DataFrame, payload_col: str, known: set[str]) -> list[str]:
+    """Distinct JSON keys in ``payload_col`` not in ``known``. JVM-side
+    (json_object_keys + explode + distinct); returns a small driver list —
+    mirrors parse.go:169-177 which collects new columns per batch."""
+    rows = (
+        df.select(F.explode(F.json_object_keys(F.col(payload_col))).alias("k"))
+        .filter(~F.col("k").isin(*known) if known else F.lit(True))
+        .distinct()
+        .collect()
+    )
+    return sorted(r["k"] for r in rows)
+
+
+def sample_types_for(df: DataFrame, payload_col: str, names: list[str]) -> dict[str, T.DataType]:
+    """Infer a Spark type per new column from the first non-null JSON value,
+    like the reference infers from the first event carrying the column."""
+    if not names:
+        return {}
+    agg = df.agg(
+        *[
+            F.first(F.get_json_object(F.col(payload_col), f"$.{n}"), ignorenulls=True).alias(n)
+            for n in names
+        ]
+    ).collect()[0]
+    out: dict[str, T.DataType] = {}
+    for n in names:
+        raw = agg[n]
+        if raw is None:
+            out[n] = T.StringType()
+            continue
+        try:
+            out[n] = infer_json_type(json.loads(raw))
+        except (ValueError, TypeError):
+            out[n] = T.StringType()
+    return out
+
+
+def evolution_plan(
+    table_schema: T.StructType, event_schema: T.StructType
+) -> tuple[list[T.StructField], list[tuple[str, T.DataType]]]:
+    """Diff event schema vs table schema.
+
+    Returns (columns to ADD, columns to WIDEN[(name, new_type)]).
+    Narrowing/incompatible changes never alter the table: the event value is
+    coerced to the existing column type instead (lenient, never-fail).
+    """
+    existing = {f.name: f.dataType for f in table_schema.fields}
+    adds: list[T.StructField] = []
+    widens: list[tuple[str, T.DataType]] = []
+    for f in event_schema.fields:
+        cur = existing.get(f.name)
+        if cur is None:
+            adds.append(T.StructField(f.name, f.dataType, True))
+        elif cur != f.dataType and is_widening(cur, f.dataType):
+            widens.append((f.name, f.dataType))
+    return adds, widens
+
+
+def align_to_schema(df: DataFrame, schema: T.StructType, lenient: bool = True) -> DataFrame:
+    """Project ``df`` onto ``schema``: order columns, cast leniently, fill
+    missing columns with nulls (reference fills type defaults at parse —
+    parse.go:150-157; we keep nulls in the lake and expose defaults on read)."""
+    cols = []
+    have = set(df.columns)
+    for f in schema.fields:
+        if f.name in have:
+            cols.append(coerce(F.col(f.name), f.dataType, lenient).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)

@@ -1,0 +1,204 @@
+"""The rtu-equivalent incremental sync pipeline.
+
+Reference DAG (cmd/rtu, SURVEY.md §3.1)::
+
+    Kafka topic -> [input] batch -> [parse] decode/normalize/evolve
+                -> [insert] shard+write -> commit offsets
+
+Spark-first realization::
+
+    file/kafka readStream -> foreachBatch(
+        decode (from_json, JVM)               # parse.go:109-134
+        -> DLQ split (missing PK/unparseable) # kfks.go:53-58, parse.go:141-144
+        -> schema evolution (diff + ALTER)    # parse.go:169-265
+        -> in-batch LWW collapse              # parse.go:268-306
+        -> LakeTable.merge (bucketed upsert, offset-fenced)  # ckgroup exec
+        -> lineage metrics append             # per-partition counts
+    ) with checkpointLocation
+
+Offsets are committed by Spark's checkpoint only after foreachBatch returns
+(the analog of commit-after-insert, cmd/rtu/handle/input.go:51-70); a replayed
+micro-batch after crash-restart is skipped by the merge fence — exactly-once.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cds_spark.lake.table import LakeTable
+from cds_spark.operators.decode import decode_feed, events_to_rows
+from cds_spark.schema import infer_json_type
+from cds_spark.sources.feed import FEED_SCHEMA
+
+
+@dataclass
+class JobSpec:
+    """The etcd job-record analog (cmd/rtu/cmd/sync/config/job.go:10-39):
+    source feed + target table + runtime knobs, as plain data."""
+
+    job_id: str
+    table_root: str
+    source_dir: str
+    checkpoint_dir: str
+    version_inject: dict = field(default_factory=lambda: {"commit": "commit"})
+    max_files_per_trigger: int = 8
+    evolve_schema: bool = True
+    dlq_dir: str | None = None
+    lineage_dir: str | None = None
+
+
+def discover_and_evolve(table: LakeTable, batch: DataFrame, payload_col: str = "payload") -> list[str]:
+    """Per-batch schema evolution (parse.go:169-265): find payload keys not
+    in the table schema, infer each new column's type from the first event
+    carrying it (JSON value typing, parse.go:190-207), ALTER ADD COLUMN.
+
+    Returns the added column names. JVM-side key scan; per-new-column one
+    small driver-side sample (new columns are rare by construction)."""
+    import pyspark.sql.types as T
+
+    known = {f.name for f in table.schema.fields}
+    keys = (
+        batch.select(F.explode(F.json_object_keys(F.col(payload_col))).alias("k"))
+        .filter(~F.col("k").isin(*known))
+        .distinct()
+        .collect()
+    )
+    new_names = sorted(r["k"] for r in keys)
+    if not new_names:
+        return []
+    fields = []
+    for name in new_names:
+        sample = (
+            batch.filter(F.get_json_object(F.col(payload_col), f"$.{name}").isNotNull())
+            .select(payload_col)
+            .first()
+        )
+        dt = T.StringType()
+        if sample is not None:
+            try:
+                dt = infer_json_type(json.loads(sample[0]).get(name))
+            except (ValueError, TypeError):
+                pass
+        fields.append(T.StructField(name, dt, True))
+    table.alter_add_columns(fields)
+    return new_names
+
+
+class IncrementalSync:
+    """Owns one job's foreachBatch loop + lineage/metrics sidecar."""
+
+    def __init__(self, spark: SparkSession, spec: JobSpec):
+        self.spark = spark
+        self.spec = spec
+        self.table = LakeTable.load(spark, spec.table_root)
+        self.lineage_path = os.path.join(
+            spec.lineage_dir or os.path.join(spec.table_root, "_lineage"),
+            f"{spec.job_id}.jsonl",
+        )
+        os.makedirs(os.path.dirname(self.lineage_path), exist_ok=True)
+
+    # -- one micro-batch (also callable directly for batch-mode replay) ----
+    def process_batch(self, batch: DataFrame, batch_id: int) -> dict:
+        t0 = time.time()
+        table = self.table
+        if table._fence_applied((self.spec.job_id, batch_id)):
+            rec = {"batch_id": batch_id, "skipped": True, "ts": time.time()}
+            self._append_lineage(rec)
+            return rec
+        if self.spec.evolve_schema:
+            added = discover_and_evolve(table, batch)
+        else:
+            added = []
+        events = decode_feed(batch, inject=self.spec.version_inject)
+        rows, dlq = events_to_rows(events, table.schema, table.pk)
+        # per-partition lineage BEFORE merge collapses rows (one small agg)
+        lineage_rows = [
+            r.asDict()
+            for r in rows.groupBy("_partition")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.min("_offset").alias("min_offset"),
+                F.max("_offset").alias("max_offset"),
+            )
+            .collect()
+        ]
+        n_dlq = 0
+        if self.spec.dlq_dir:
+            dlq_out = dlq.withColumn("_batch_id", F.lit(batch_id))
+            dlq_out.write.mode("append").parquet(self.spec.dlq_dir)
+        stats = table.merge(rows, fence=(self.spec.job_id, batch_id))
+        rec = {
+            "job_id": self.spec.job_id,
+            "batch_id": batch_id,
+            "skipped": stats.skipped,
+            "snapshot_version": stats.version,
+            "source_rows": stats.source_rows,
+            "touched_buckets": stats.touched_buckets,
+            "total_buckets": stats.total_buckets,
+            "schema_added": added,
+            "partitions": lineage_rows,
+            "n_dlq": n_dlq,
+            "duration_s": round(time.time() - t0, 3),
+            "ts": time.time(),
+        }
+        self._append_lineage(rec)
+        return rec
+
+    def _append_lineage(self, rec: dict) -> None:
+        with open(self.lineage_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    # -- streaming driver ---------------------------------------------------
+    def start(self, trigger_once: bool = False, processing_time: str = "2 seconds"):
+        """Start the stream (file source stands in for the Kafka topic;
+        maxFilesPerTrigger plays maxOffsetsPerTrigger)."""
+        reader = (
+            self.spark.readStream.schema(FEED_SCHEMA)
+            .option("maxFilesPerTrigger", self.spec.max_files_per_trigger)
+            .json(self.spec.source_dir)
+        )
+        writer = reader.writeStream.option("checkpointLocation", self.spec.checkpoint_dir)
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=processing_time)
+        return writer.foreachBatch(
+            lambda df, bid: self.process_batch(df, bid)
+        ).start()
+
+    def run_available(self) -> None:
+        """Process everything currently in the source dir, then stop
+        (Trigger.AvailableNow) — the primary test/replay entry."""
+        q = self.start(trigger_once=True)
+        q.awaitTermination()
+
+
+def bootstrap(
+    spark: SparkSession,
+    source: DataFrame,
+    table_root: str,
+    pk: list[str],
+    version_cols: list[str],
+    n_buckets: int = 64,
+) -> LakeTable:
+    """The dm-equivalent full sync: snapshot -> lake table (overwrite).
+
+    Where cds pages `SELECT ... WHERE pk > ? LIMIT 20000` serially
+    (cmd/dm/data/mysql2clickhouse.go:31-119), Spark parallelizes the scan;
+    incremental overlap after bootstrap converges by the same LWW rule
+    (doc/CDS中ClickHouse使用的建表方案.md:87)."""
+    schema = source.schema
+    if LakeTable.exists(table_root):
+        table = LakeTable.load(spark, table_root)
+    else:
+        table = LakeTable.create(
+            spark, table_root, schema, pk=pk, version_cols=version_cols, n_buckets=n_buckets
+        )
+    table.overwrite(source)
+    return table

@@ -1,0 +1,117 @@
+"""End-to-end CDC replay vs the independent pandas oracle.
+
+The invariant (BASELINE.json input_hint): after replaying the change feed,
+the live rows of the lake table match the oracle state under per-row
+sha256(content) equality — the Spark analog of the reference's dbtesttool
+round-trip verification (pkg/ckgroup/dbtesttool/dbtool/select.go:113-160).
+"""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from cds_spark.functions import content_sha256
+from cds_spark.lake.table import LakeTable
+from cds_spark.operators.decode import decode_feed, events_to_rows
+from cds_spark.operators.dedup import lww_collapse
+from cds_spark.sources.feed import REPO_SCHEMA, change_feed, reference_replay_pandas
+
+N_EVENTS = 5000
+
+
+@pytest.fixture(scope="module")
+def feed(spark):
+    return change_feed(spark, N_EVENTS, n_repos=20, paths_per_repo=30, seed=7).persist()
+
+
+@pytest.fixture(scope="module")
+def oracle_state(feed):
+    return reference_replay_pandas([r.asDict() for r in feed.collect()])
+
+
+def _engine_state(spark, feed, tmp_path, n_batches=1):
+    root = str(tmp_path / "repos_table")
+    table = LakeTable.create(
+        spark, root, REPO_SCHEMA, pk=["repo", "path"], version_cols=["commit", "_offset"],
+        n_buckets=16,
+    )
+    per = (N_EVENTS + n_batches - 1) // n_batches
+    for i in range(n_batches):
+        batch = feed.filter(
+            (F.col("offset") >= i * per) & (F.col("offset") < (i + 1) * per)
+        )
+        events = decode_feed(batch, inject={"commit": "commit"})
+        rows, dlq = events_to_rows(events, table.schema, table.pk)
+        assert dlq.count() == 0
+        table.merge(rows, fence=("e2e", i))
+    return table
+
+
+def _assert_matches_oracle(table, oracle_state):
+    live = table.current().select("repo", "path", "commit", "lang", "content").collect()
+    assert len(live) == len(oracle_state)
+    for r in live:
+        key = (r["repo"], r["path"])
+        assert key in oracle_state, f"unexpected live row {key}"
+        o = oracle_state[key]
+        assert r["commit"] == o["commit"]
+        assert r["lang"] == o["lang"]
+        # the per-row content invariant
+        assert (
+            hashlib.sha256(r["content"].encode()).hexdigest()
+            == hashlib.sha256(o["content"].encode()).hexdigest()
+        )
+
+
+def test_single_batch_replay(spark, feed, oracle_state, tmp_path):
+    table = _engine_state(spark, feed, tmp_path, n_batches=1)
+    _assert_matches_oracle(table, oracle_state)
+
+
+def test_multi_batch_replay_converges(spark, feed, oracle_state, tmp_path):
+    """Same feed split into micro-batches -> identical final state."""
+    table = _engine_state(spark, feed, tmp_path, n_batches=7)
+    _assert_matches_oracle(table, oracle_state)
+
+
+def test_replay_is_idempotent(spark, feed, oracle_state, tmp_path):
+    """Applying the whole feed twice (at-least-once) converges (LWW) —
+    doc/CDS中ClickHouse使用的建表方案.md:87 semantics."""
+    table = _engine_state(spark, feed, tmp_path, n_batches=2)
+    events = decode_feed(feed, inject={"commit": "commit"})
+    rows, _ = events_to_rows(events, table.schema, table.pk)
+    table.merge(rows, fence=("e2e-replay", 0))
+    _assert_matches_oracle(table, oracle_state)
+
+
+def test_fence_skips_applied_batch(spark, feed, tmp_path):
+    root = str(tmp_path / "fence_table")
+    table = LakeTable.create(
+        spark, root, REPO_SCHEMA, pk=["repo", "path"], version_cols=["commit", "_offset"],
+        n_buckets=8,
+    )
+    events = decode_feed(feed, inject={"commit": "commit"})
+    rows, _ = events_to_rows(events, table.schema, table.pk)
+    s1 = table.merge(rows, fence=("job1", 5))
+    assert not s1.skipped
+    s2 = table.merge(rows, fence=("job1", 5))
+    assert s2.skipped
+    s3 = table.merge(rows, fence=("job1", 4))  # older batch replayed
+    assert s3.skipped
+
+
+def test_lww_collapse_in_batch(spark):
+    """c+u on the same PK collapses to one row keeping the newer value —
+    mirrors cmd/rtu/handle/parse_test.go:96-134."""
+    df = spark.createDataFrame(
+        [
+            ("r", "p", "000001", 1, "old"),
+            ("r", "p", "000002", 2, "new"),
+            ("r", "q", "000001", 3, "only"),
+        ],
+        "repo string, path string, commit string, _offset long, content string",
+    )
+    out = lww_collapse(df, ["repo", "path"], ["commit", "_offset"]).collect()
+    state = {(r["repo"], r["path"]): r["content"] for r in out}
+    assert state == {("r", "p"): "new", ("r", "q"): "only"}
