@@ -1,0 +1,373 @@
+"""Driver-checked query surface: each entry is an operator from SURVEY.md §2
+realized Spark-first, paired with an ANSI-SQL oracle (DuckDB) in ORACLES.
+
+The CDC queries treat the driver-provided ``events`` table as a change feed:
+op normalization signup->c, click/view/purchase->u, error->d (the reference's
+op whitelist, cmd/rtu/model/canalsyncmodel.go:71-88), PK = user_id, LWW
+version = (ts, event_id) — the (commit, offset) analog.
+
+Column-name / type discipline (driver hashes values after sorting columns by
+name): every computed column is aliased identically in Spark and SQL; counts
+and row_numbers cast to long; timestamps exported as epoch seconds (long) or
+date strings; double aggregates rounded in BOTH engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cds_spark.operators.dedup import lww_collapse
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# op normalization: the c/u/d whitelist mapping
+_OP = (
+    F.when(F.col("event_type") == "signup", "c")
+    .when(F.col("event_type") == "error", "d")
+    .otherwise("u")
+)
+_OP_SQL = (
+    "CASE WHEN event_type='signup' THEN 'c' "
+    "WHEN event_type='error' THEN 'd' ELSE 'u' END"
+)
+
+
+def _changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> normalized change feed (op, user_id, version=(ts,event_id))."""
+    return load(spark, sf_dir, "events").withColumn("op", _OP)
+
+
+# ---------------------------------------------------------------------------
+# CDC semantics queries
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_lww_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReplacingMergeTree FINAL + tombstone filter — the ``{t}_now`` view
+    (pkg/table/table.go:143-147): one live row per PK, max version wins."""
+    ch = _changes(spark, sf_dir)
+    last = lww_collapse(ch, ["user_id"], ["ts", "event_id"])
+    return (
+        last.filter(F.col("op") != "d")
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.unix_timestamp("ts").alias("last_ts"),
+            F.col("op").alias("last_op"),
+            F.round("value", 2).alias("last_value"),
+        )
+    )
+
+
+ORACLE_LWW_CURRENT = f"""
+SELECT user_id, event_id AS last_event_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS last_ts,
+       {_OP_SQL} AS last_op, round(value, 2) AS last_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND {_OP_SQL} <> 'd'
+"""
+
+
+def q_cdc_lww_tombstone_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``{t}_mv`` analog: collapsed state INCLUDING tombstones with the
+    ck_is_delete flag (pkg/table/table.go:52)."""
+    ch = _changes(spark, sf_dir)
+    last = lww_collapse(ch, ["user_id"], ["ts", "event_id"])
+    return last.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        (F.col("op") == "d").cast("int").alias("ck_is_delete"),
+    )
+
+
+ORACLE_LWW_TOMBSTONE = f"""
+SELECT user_id, event_id AS last_event_id,
+       CASE WHEN {_OP_SQL} = 'd' THEN 1 ELSE 0 END AS ck_is_delete
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_cdc_op_normalize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op normalization + daily change-volume profile (decode-stage stats)."""
+    ch = _changes(spark, sf_dir)
+    return (
+        ch.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"), "op")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+ORACLE_OP_COUNTS = f"""
+SELECT strftime(ts, '%Y-%m-%d') AS day, {_OP_SQL} AS op, count(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
+ASOF = "2024-01-15 00:00:00"
+
+
+def q_cdc_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical state reconstruction: argMax(col, version) bounded by date
+    (doc/CDS中ClickHouse使用的建表方案.md:97-120) — state as-of ASOF."""
+    ch = _changes(spark, sf_dir).filter(F.col("ts") < F.lit(ASOF).cast("timestamp"))
+    last = lww_collapse(ch, ["user_id"], ["ts", "event_id"])
+    return last.filter(F.col("op") != "d").select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.round("value", 2).alias("last_value"),
+    )
+
+
+ORACLE_ASOF = f"""
+SELECT user_id, event_id AS last_event_id, round(value, 2) AS last_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE ts < TIMESTAMP '{ASOF}'
+) WHERE rn = 1 AND {_OP_SQL} <> 'd'
+"""
+
+
+def q_cdc_inbatch_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-batch merge (parse.go:268-306): collapse each micro-batch
+    (batch = event_id div 500) to one row per PK, counting absorbed events."""
+    ch = _changes(spark, sf_dir).withColumn(
+        "batch_id", (F.col("event_id") / 500).cast("long")
+    )
+    w = Window.partitionBy("batch_id", "user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ch.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_collapsed", F.count("*").over(Window.partitionBy("batch_id", "user_id")))
+        .filter(F.col("rn") == 1)
+        .select(
+            "batch_id",
+            "user_id",
+            F.col("n_collapsed").cast("long").alias("n_collapsed"),
+            F.col("event_id").alias("last_event_id"),
+        )
+    )
+
+
+ORACLE_INBATCH = """
+SELECT batch_id, user_id, n_collapsed, event_id AS last_event_id
+FROM (
+  SELECT CAST(event_id // 500 AS BIGINT) AS batch_id, user_id, event_id, ts,
+         row_number() OVER (PARTITION BY event_id // 500, user_id ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY event_id // 500, user_id) AS n_collapsed
+  FROM events
+) WHERE rn = 1
+"""
+
+
+_LOOKUP_KEYS = [1, 2, 3, 5, 8, 13, 21, 34, 55, 89]
+
+
+def q_cdc_pk_semi_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point/semi lookup by PK set — `WHERE pk IN (...)` verification reads
+    (cmd/rtu/handle/tablecolumn.go:103-112). Broadcast semi join."""
+    ch = _changes(spark, sf_dir)
+    keys = spark.createDataFrame([(k,) for k in _LOOKUP_KEYS], "user_id long")
+    hits = ch.join(F.broadcast(keys), "user_id", "left_semi")
+    last = lww_collapse(hits, ["user_id"], ["ts", "event_id"])
+    return last.select("user_id", F.col("event_id").alias("last_event_id"), "op")
+
+
+ORACLE_SEMI = f"""
+SELECT user_id, event_id AS last_event_id, {_OP_SQL} AS op
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE user_id IN ({",".join(str(k) for k in _LOOKUP_KEYS)})
+) WHERE rn = 1
+"""
+
+
+def q_cdc_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset-ordered pagination (mysql2clickhouse.go:69-90 `WHERE pk>?
+    ORDER BY pk LIMIT n`): page of the collapsed state after user_id 50."""
+    ch = _changes(spark, sf_dir)
+    last = lww_collapse(ch, ["user_id"], ["ts", "event_id"])
+    return (
+        last.filter(F.col("user_id") > 50)
+        .orderBy("user_id")
+        .limit(25)
+        .select("user_id", F.col("event_id").alias("last_event_id"))
+    )
+
+
+ORACLE_KEYSET = """
+SELECT user_id, event_id AS last_event_id
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND user_id > 50
+ORDER BY user_id LIMIT 25
+"""
+
+
+def q_cdc_json_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload decode (the parse stage, parse.go:109-134): extract
+    props.k, aggregate per event_type."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+    )
+
+
+ORACLE_JSON_STATS = """
+SELECT event_type, count(*) AS n_events,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash (hash-groupBy with map-side combine):
+    canonical doc = min doc_id per md5(text)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("text_md5")).agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS text_md5, min(doc_id) AS canonical_doc_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+# ---------------------------------------------------------------------------
+# general engine checks (Spark-free built-ins; Catalyst does the planning)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregate: partial-agg friendly groupBy."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join: orders ⋈ customer ⋈ nation with the small dim broadcast —
+    no shuffle for the dim side."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+        )
+    )
+
+
+ORACLE_REVENUE_NATION = """
+SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer: ranking window, single shuffle on custkey."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "rank", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+ORACLE_TOP_ORDERS = """
+SELECT o_custkey, o_orderkey, rank, round(o_totalprice, 2) AS price
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cdc_lww_current_state": q_cdc_lww_current_state,
+    "cdc_lww_tombstone_state": q_cdc_lww_tombstone_state,
+    "cdc_op_normalize_counts": q_cdc_op_normalize_counts,
+    "cdc_snapshot_asof": q_cdc_snapshot_asof,
+    "cdc_inbatch_collapse": q_cdc_inbatch_collapse,
+    "cdc_pk_semi_lookup": q_cdc_pk_semi_lookup,
+    "cdc_keyset_page": q_cdc_keyset_page,
+    "cdc_json_payload_stats": q_cdc_json_payload_stats,
+    "dedup_exact": q_dedup_exact,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "top_orders_per_customer": q_top_orders_per_customer,
+}
+
+ORACLES: dict[str, str] = {
+    "cdc_lww_current_state": ORACLE_LWW_CURRENT,
+    "cdc_lww_tombstone_state": ORACLE_LWW_TOMBSTONE,
+    "cdc_op_normalize_counts": ORACLE_OP_COUNTS,
+    "cdc_snapshot_asof": ORACLE_ASOF,
+    "cdc_inbatch_collapse": ORACLE_INBATCH,
+    "cdc_pk_semi_lookup": ORACLE_SEMI,
+    "cdc_keyset_page": ORACLE_KEYSET,
+    "cdc_json_payload_stats": ORACLE_JSON_STATS,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "pricing_summary": ORACLE_PRICING,
+    "revenue_by_nation": ORACLE_REVENUE_NATION,
+    "top_orders_per_customer": ORACLE_TOP_ORDERS,
+}

@@ -1,0 +1,117 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every __spark_entry__.queries() entry on Spark and its oracle_sql() in
+DuckDB at sf0.01, then compares row count, column names, and an
+order-insensitive value hash (columns sorted by name, rows sorted by their
+canonical string). Floats are canonicalized via repr of round(x, 9) so both
+engines' doubles hash identically when they agree to 1e-9.
+
+Usage: python tools/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import duckdb  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(v) -> str:
+    if v is None:
+        return "<null>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        r = round(v, 9)
+        if r == int(r) and abs(r) < 2**53:
+            return str(int(r))
+        return repr(r)
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def value_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x1f".join(canon(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from cds_spark.session import get_spark
+
+    spark = get_spark("check-oracles", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failed = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        sdf = fn(spark, sf_dir)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        status = []
+        if name in oracles:
+            cur = con.execute(oracles[name])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+            ok_count = len(srows) == len(orows)
+            ok_schema = sorted(scols) == sorted(ocols)
+            sh, oh = value_hash(scols, srows), value_hash(ocols, orows)
+            ok_hash = sh == oh
+            ok = ok_count and ok_schema and ok_hash
+            status = [
+                f"rows {len(srows)}{'==' if ok_count else '!='}{len(orows)}",
+                f"schema {'ok' if ok_schema else f'{sorted(scols)} vs {sorted(ocols)}'}",
+                f"hash {'ok' if ok_hash else 'MISMATCH'}",
+            ]
+            if not ok:
+                failed.append(name)
+                if not ok_hash and ok_count and ok_schema:
+                    # show first differing row for debugging
+                    order = sorted(range(len(scols)), key=lambda i: scols[i])
+                    sset = sorted("\x1f".join(canon(r[i]) for i in order) for r in srows)
+                    oorder = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                    oset = sorted("\x1f".join(canon(r[i]) for i in oorder) for r in orows)
+                    for a, b in zip(sset, oset):
+                        if a != b:
+                            print(f"    spark : {a[:200]}")
+                            print(f"    duckdb: {b[:200]}")
+                            break
+        else:
+            status = [f"rows {len(srows)} (no oracle — rows-only check)"]
+            if len(srows) == 0:
+                failed.append(name)
+        print(f"{'PASS' if name not in failed else 'FAIL'} {name:32s} "
+              f"{time.time()-t0:6.1f}s  {'  '.join(status)}")
+    print(f"\n{len(queries) - len(failed)}/{len(queries)} queries match")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
