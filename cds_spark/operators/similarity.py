@@ -1,0 +1,174 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute-force cosine top-k: the correctness baseline; cross join pruned to
+  the query set, dot/norm fully JVM (zip_with + aggregate — no Python).
+- LSH-bucketed ANN: random-hyperplane sign buckets; candidates only within
+  the query's bucket — the scale path (bucket join instead of cross join).
+  Hyperplane components derive from the same md5 stable hash as everything
+  else, so the bucketing is reproducible anywhere (incl. the SQL oracle).
+- embedding-cosine near-dup pairs: all pairs >= threshold (exact at oracle
+  scale; at 100TB the LSH bucketing prunes the pair space first).
+
+Cosine determinism across engines: both Spark's aggregate() and DuckDB's
+list_cosine_similarity reduce left-to-right over the same doubles, and all
+outputs are rounded to 6 decimals before compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cds_spark.functions import cosine
+
+N_QUERIES = 5  # vec_id < N_QUERIES are the query vectors
+TOP_K = 10
+# random synthetic embeddings top out ~0.5 pairwise cosine; 0.42 yields a
+# small non-trivial pair set at oracle scale (real near-dup data would use
+# ~0.95 — the threshold is a parameter, the operator is what's under test)
+NEAR_DUP_COS = 0.42
+
+LSH_BITS = 8  # hyperplane count -> 2^8 buckets
+_HP_RANGE = 2001  # component in [-1000, 1000] / 1000
+
+
+def _hp_component(j: int, k: int) -> float:
+    """Deterministic hyperplane component r[j][k] — same formula is inlined
+    into the SQL oracle."""
+    import hashlib
+
+    h = int(hashlib.md5(f"hp-{j}-{k}".encode()).hexdigest()[:15], 16)
+    return ((h % _HP_RANGE) - 1000) / 1000.0
+
+
+def hyperplanes(dim: int) -> list[list[float]]:
+    return [[_hp_component(j, k) for k in range(dim)] for j in range(LSH_BITS)]
+
+
+def brute_force_topk(emb: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES) -> DataFrame:
+    """Exact cosine top-k for each query vector. Query side is tiny ->
+    broadcast; one pass over the corpus per batch of queries."""
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(cosine("qv", "nv"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+BRUTE_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS nv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_cosine_similarity(qv, nv), 6) AS cos_sim
+  FROM q JOIN c ON query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+def near_dup_pairs(emb: DataFrame, threshold: float = NEAR_DUP_COS) -> DataFrame:
+    """All vector pairs with cosine >= threshold (embedding near-dup)."""
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", F.round(cosine("va", "vb"), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+NEAR_DUP_SQL = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= {NEAR_DUP_COS}
+"""
+
+
+def _bucket_expr(vec: F.Column, dim: int) -> F.Column:
+    """Random-hyperplane LSH bucket id (sum of sign bits)."""
+    hps = hyperplanes(dim)
+    bucket = F.lit(0).cast("long")
+    for j in range(LSH_BITS):
+        dot_j = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(x) for x in hps[j]]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot_j > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def lsh_bucketed_topk(
+    emb: DataFrame, dim: int = 64, k: int = TOP_K, n_queries: int = N_QUERIES
+) -> DataFrame:
+    """ANN: candidates restricted to the query's hyperplane-sign bucket,
+    then exact cosine + rank within bucket. Recall < 1 by design (scale
+    path; multi-probe = add neighboring buckets). Same output shape as
+    brute_force_topk."""
+    with_bucket = emb.withColumn("bucket", _bucket_expr(F.col("embedding"), dim))
+    q = with_bucket.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "bucket"
+    )
+    c = with_bucket.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"), "bucket"
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, ["bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(cosine("qv", "nv"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def _bucket_sql(vec_expr: str, dim: int) -> str:
+    hps = hyperplanes(dim)
+    terms = []
+    for j in range(LSH_BITS):
+        arr = "[" + ",".join(f"{x!r}" for x in hps[j]) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}::DOUBLE[], {arr}) > 0 THEN {2**j} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def lsh_bucketed_topk_sql(dim: int = 64) -> str:
+    b = _bucket_sql("embedding", dim)
+    return f"""
+WITH e AS (SELECT vec_id, embedding, {b} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, bucket FROM e WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS nv, bucket FROM e),
+scored AS (
+  SELECT query_id, neighbor_id, round(list_cosine_similarity(qv, nv), 6) AS cos_sim
+  FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""

@@ -1,0 +1,341 @@
+"""Near-duplicate detection for training-data pipelines.
+
+Four families over the ``documents`` table, all with deterministic,
+cross-engine-reproducible hashing (md5-based ``stable_long_hash``) so each
+Spark implementation has an exact ANSI-SQL oracle:
+
+- exact dedup        hash-groupBy (see queries.q_dedup_exact)
+- n-gram Jaccard     exact pairwise on char-shingle sets — the small-scale
+                     oracle; O(n²) pairs, bounded use only
+- MinHash + LSH      shingle -> 32 minhashes -> 8 banded buckets ->
+                     candidate pairs by bucket join -> exact-Jaccard verify.
+                     THE scale path: candidate generation is a shuffle on
+                     band keys (linear), never an n² cross join.
+- SimHash            32-bit majority signature over token hashes; near pairs
+                     via 8-bit block banding + hamming distance verify.
+
+Scale notes (100TB): shingling multiplies data ~PREFIX bytes/doc; the
+explode→groupBy(doc) pipelines are all single-shuffle with map-side combine.
+LSH band join distributes by band key — hot buckets (boilerplate docs) are
+the skew risk; AQE skew-join splitting handles it (session default), and
+band keys can be salted by doc_id ranges if needed.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# shared constants — the SQL oracles are built from these same values,
+# guaranteeing Spark/DuckDB parity
+SHINGLE_K = 5
+PREFIX = 256  # shingle only the first PREFIX chars (bounds cost per doc)
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne); a*h+b stays < 2^62
+N_HASHES = 32
+N_BANDS = 8
+ROWS_PER_BAND = N_HASHES // N_BANDS
+JACCARD_THRESHOLD = 0.2
+
+_rng = random.Random(20240816)
+MINHASH_A = [_rng.randrange(1, MINHASH_P) for _ in range(N_HASHES)]
+MINHASH_B = [_rng.randrange(0, MINHASH_P) for _ in range(N_HASHES)]
+
+SIMHASH_BITS = 32
+
+
+def _stable_hash_expr(col: F.Column) -> F.Column:
+    """First 15 hex chars of md5 as non-negative long — bit-identical to
+    DuckDB's CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _stable_hash_sql(expr: str) -> str:
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, shingle) — distinct k-char shingles of lower(prefix(text)).
+    JVM-only: sequence+transform+array_distinct+explode."""
+    t = F.lower(F.substring(F.col(text_col), 1, PREFIX))
+    arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(t) - (SHINGLE_K - 1), F.lit(0))),
+            lambda i: t.substr(i, F.lit(SHINGLE_K)),
+        )
+    )
+    return (
+        docs.filter(F.length(text_col) >= SHINGLE_K)
+        .select(F.col(id_col).alias("doc_id"), F.explode(arr).alias("s"))
+    )
+
+
+_SHINGLES_SQL = f"""
+  SELECT doc_id,
+         unnest(list_distinct([substr(lower(substr(text, 1, {PREFIX})), i, {SHINGLE_K})
+                               for i in generate_series(1, len(lower(substr(text, 1, {PREFIX}))) - {SHINGLE_K - 1})])) AS s
+  FROM documents WHERE len(text) >= {SHINGLE_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (small-scale oracle path)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """All pairs with shingle-set Jaccard >= threshold, via pairwise
+    array_intersect on collected shingle sets. O(n²) by construction —
+    correct-by-definition baseline; use minhash_lsh_pairs at scale."""
+    sets = shingles(docs).groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("s")).alias("sset")
+    )
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("sa"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sset").alias("sb"))
+    pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = (F.size("sa") + F.size("sb")).cast("double") - inter
+    jac = inter / union
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sets AS (SELECT doc_id, list_sort(list(s)) AS sset FROM sh GROUP BY doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.sset, b.sset))::DOUBLE /
+             (len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset))), 6) AS jaccard
+FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.sset, b.sset))::DOUBLE /
+            (len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset))), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (scale path)
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, mh_0..mh_{N_HASHES-1}): universal-hash minima over shingle
+    hashes. Single groupBy with N_HASHES min() aggs — map-side combine makes
+    the shuffle O(docs), not O(shingles)."""
+    sh = shingles(docs)
+    h = F.pmod(_stable_hash_expr(F.col("s")), F.lit(MINHASH_P)).alias("h")
+    hashed = sh.select("doc_id", h)
+    aggs = [
+        F.min(F.pmod(F.lit(MINHASH_A[j]) * F.col("h") + F.lit(MINHASH_B[j]), F.lit(MINHASH_P))).alias(f"mh_{j}")
+        for j in range(N_HASHES)
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def _band_key(j: int) -> F.Column:
+    cols = [F.col(f"mh_{i}").cast("string") for i in range(j * ROWS_PER_BAND, (j + 1) * ROWS_PER_BAND)]
+    return F.md5(F.concat_ws(",", *cols))
+
+
+def minhash_band_buckets(docs: DataFrame) -> DataFrame:
+    """(band_id, band_key, doc_id) — LSH bucket assignment."""
+    sig = minhash_signatures(docs)
+    bands = F.array(
+        *[F.struct(F.lit(j).alias("band_id"), _band_key(j).alias("band_key")) for j in range(N_BANDS)]
+    )
+    return sig.select("doc_id", F.explode(bands).alias("b")).select(
+        F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key"), "doc_id"
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+    """Candidate pairs sharing >=1 LSH band, verified by exact Jaccard.
+
+    This is the 100TB dedup path: bucket-join candidate generation (linear
+    in corpus + bucket sizes), exact verify only on candidates."""
+    buckets = minhash_band_buckets(docs)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets = shingles(docs).groupBy("doc_id").agg(F.collect_set("s").alias("sset"))
+    pairs = (
+        cand.join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sset", "sa"), "doc_a")
+        .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sset", "sb"), "doc_b")
+    )
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = (F.size("sa") + F.size("sb")).cast("double") - inter
+    return (
+        pairs.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _minhash_sig_sql() -> str:
+    mins = ",\n         ".join(
+        f"min(({MINHASH_A[j]}::BIGINT * h + {MINHASH_B[j]}) % {MINHASH_P}) AS mh_{j}"
+        for j in range(N_HASHES)
+    )
+    return f"""
+  SELECT doc_id, {mins}
+  FROM (SELECT doc_id, {_stable_hash_sql('s')} % {MINHASH_P} AS h FROM sh)
+  GROUP BY doc_id
+"""
+
+
+def _bands_sql() -> str:
+    rows = []
+    for j in range(N_BANDS):
+        cols = ", ".join(f"mh_{i}" for i in range(j * ROWS_PER_BAND, (j + 1) * ROWS_PER_BAND))
+        rows.append(
+            f"SELECT doc_id, {j} AS band_id, md5(concat_ws(',', {cols})) AS band_key FROM sig"
+        )
+    return " UNION ALL ".join(rows)
+
+
+MINHASH_LSH_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sig AS ({_minhash_sig_sql()}),
+bands AS ({_bands_sql()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sets AS (SELECT doc_id, list_sort(list(s)) AS sset FROM sh GROUP BY doc_id)
+SELECT doc_a, doc_b,
+       round(len(list_intersect(sa.sset, sb.sset))::DOUBLE /
+             (len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset))), 6) AS jaccard
+FROM cand JOIN sets sa ON doc_a = sa.doc_id JOIN sets sb ON doc_b = sb.doc_id
+WHERE round(len(list_intersect(sa.sset, sb.sset))::DOUBLE /
+            (len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset))), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash): 32-bit majority signature over token hashes
+    (token multiplicity counts). One explode + one groupBy (32 sums)."""
+    toks = docs.select(
+        F.col("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("t"),
+    )
+    h = F.pmod(_stable_hash_expr(F.col("t")), F.lit(2**32)).alias("h")
+    hashed = toks.select("doc_id", h)
+    aggs = [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"bit_{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sums = hashed.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"bit_{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return sums.select("doc_id", sim.alias("simhash"))
+
+
+SIMHASH_SIG_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents
+),
+hashed AS (SELECT doc_id, {_stable_hash_sql('t')} % 4294967296 AS h FROM toks),
+bitsums AS (
+  SELECT doc_id, b.b AS b,
+         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hashed, (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS b) b
+  GROUP BY doc_id, b.b
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
+FROM bitsums GROUP BY doc_id
+"""
+
+SIMHASH_HAMMING_MAX = 6
+_SIMHASH_N_BLOCKS = 4
+_SIMHASH_BLOCK_BITS = SIMHASH_BITS // _SIMHASH_N_BLOCKS
+
+
+def simhash_near_pairs(docs: DataFrame) -> DataFrame:
+    """Near-dup pairs: share >=1 of 4 8-bit blocks (pigeonhole guarantee for
+    hamming<=3; wider recall probe) AND hamming(simhash) <= max. Block join
+    keeps candidate generation linear — same LSH shape as minhash."""
+    sig = simhash_signatures(docs)
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("block_id"),
+                F.shiftright(F.col("simhash"), i * _SIMHASH_BLOCK_BITS)
+                .bitwiseAND(F.lit(2**_SIMHASH_BLOCK_BITS - 1))
+                .alias("block_val"),
+            )
+            for i in range(_SIMHASH_N_BLOCKS)
+        ]
+    )
+    bl = sig.select("doc_id", "simhash", F.explode(blocks).alias("b")).select(
+        "doc_id", "simhash", F.col("b.block_id").alias("block_id"), F.col("b.block_val").alias("block_val")
+    )
+    a, b = bl.alias("a"), bl.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block_id") == F.col("b.block_id"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("long").alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+
+
+SIMHASH_PAIRS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents
+),
+hashed AS (SELECT doc_id, {_stable_hash_sql('t')} % 4294967296 AS h FROM toks),
+bitsums AS (
+  SELECT doc_id, b.b AS b,
+         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hashed, (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS b) b
+  GROUP BY doc_id, b.b
+),
+sig AS (
+  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
+  FROM bitsums GROUP BY doc_id
+),
+blocks AS (
+  SELECT doc_id, simhash, i.i AS block_id,
+         (simhash >> (i.i * {_SIMHASH_BLOCK_BITS})) & {2**_SIMHASH_BLOCK_BITS - 1} AS block_val
+  FROM sig, (SELECT unnest(generate_series(0, {_SIMHASH_N_BLOCKS - 1})) AS i) i
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM blocks a JOIN blocks b
+  ON a.block_id = b.block_id AND a.block_val = b.block_val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_MAX}
+"""

@@ -1,0 +1,142 @@
+"""Text analysis for training-data pipelines: language ID, quality scoring,
+token counting, document fingerprinting.
+
+All pure JVM column expressions with exact ANSI-SQL oracles. Regexes are
+restricted to syntax with identical semantics in Java regex (Spark) and RE2
+(DuckDB): literal alternations and simple character classes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cds_spark.operators.textdedup import _stable_hash_expr, _stable_hash_sql
+
+# a tiny deterministic "stopword" model for the heuristic scorers
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is"]
+TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+FINGERPRINT_K = 8
+
+
+def _words(text_col: str = "text") -> F.Column:
+    return F.split(F.lower(F.col(text_col)), " ")
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Per-doc quality features + a composite score: length, word stats,
+    stopword ratio, alpha ratio. (The heuristic itself is arbitrary but
+    fixed; what matters is deterministic distributed computation.)"""
+    w = _words()
+    n_words = F.size(w).cast("long")
+    n_chars = F.length("text").cast("long")
+    n_stop = F.size(F.filter(w, lambda t: t.isin(*STOPWORDS))).cast("long")
+    alpha_chars = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", "")).cast("long")
+    stop_ratio = F.round(n_stop.cast("double") / n_words, 6)
+    alpha_ratio = F.round(alpha_chars.cast("double") / n_chars, 6)
+    avg_word_len = F.round(n_chars.cast("double") / n_words, 6)
+    score = F.round(
+        F.least(stop_ratio * 2.0, F.lit(0.4)) + F.least(alpha_ratio, F.lit(0.4))
+        + F.when((avg_word_len >= 3) & (avg_word_len <= 10), 0.2).otherwise(0.0),
+        6,
+    )
+    return docs.select(
+        "doc_id", n_chars.alias("n_chars"), n_words.alias("n_words"),
+        stop_ratio.alias("stop_ratio"), alpha_ratio.alias("alpha_ratio"),
+        avg_word_len.alias("avg_word_len"), score.alias("quality_score"),
+    )
+
+
+_STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+QUALITY_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(text) AS BIGINT) AS n_chars,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+         CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ({_STOP_IN}))) AS BIGINT) AS n_stop,
+         CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS alpha_chars
+  FROM documents
+)
+SELECT doc_id, n_chars, n_words,
+       round(n_stop::DOUBLE / n_words, 6) AS stop_ratio,
+       round(alpha_chars::DOUBLE / n_chars, 6) AS alpha_ratio,
+       round(n_chars::DOUBLE / n_words, 6) AS avg_word_len,
+       round(least(round(n_stop::DOUBLE / n_words, 6) * 2.0, 0.4)
+             + least(round(alpha_chars::DOUBLE / n_chars, 6), 0.4)
+             + CASE WHEN round(n_chars::DOUBLE / n_words, 6) BETWEEN 3 AND 10 THEN 0.2 ELSE 0.0 END,
+             6) AS quality_score
+FROM base
+"""
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """n-gram/stopword language heuristic: English stopword density vs a
+    CJK-codepoint check; 'und' when neither fires."""
+    w = _words()
+    stop_ratio = F.size(F.filter(w, lambda t: t.isin(*STOPWORDS))).cast("double") / F.size(w)
+    # \x{...} escapes: identical semantics in Java regex and RE2 (DuckDB)
+    has_cjk = F.length(F.regexp_replace(F.col("text"), "[^\\x{4e00}-\\x{9fff}]", "")) > 0
+    pred = (
+        F.when(has_cjk, "zh").when(stop_ratio >= 0.05, "en").otherwise("und")
+    )
+    return docs.select("doc_id", F.col("lang").alias("labeled_lang"), pred.alias("predicted_lang"))
+
+
+LANG_ID_SQL = f"""
+SELECT doc_id, lang AS labeled_lang,
+       CASE WHEN len(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) > 0 THEN 'zh'
+            WHEN len(list_filter(string_split(lower(text), ' '), t -> t IN ({_STOP_IN})))::DOUBLE
+                 / len(string_split(lower(text), ' ')) >= 0.05 THEN 'en'
+            ELSE 'und' END AS predicted_lang
+FROM documents
+"""
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """BPE-ish regex tokenizer: alpha runs | digit runs | single symbols.
+    Token counting is the unit of data budgeting in training pipelines."""
+    toks = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0)
+    ws = F.size(F.split(F.col("text"), " ")).cast("long")
+    return docs.select(
+        "doc_id",
+        ws.alias("n_whitespace_tokens"),
+        F.size(toks).cast("long").alias("n_regex_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+    )
+
+
+TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_whitespace_tokens,
+       CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS n_regex_tokens,
+       CAST(len(list_distinct(regexp_extract_all(text, '{TOKEN_RE}'))) AS BIGINT) AS n_unique_tokens
+FROM documents
+"""
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Rolling-hash document fingerprint: min and max stable hash over
+    k-char shingles (winnowing-lite; equal fingerprints => near-identical
+    prefixes). Used for fast containment/versioning checks."""
+    t = F.lower(F.col("text"))
+    arr = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - (FINGERPRINT_K - 1), F.lit(1))),
+        lambda i: t.substr(i, F.lit(FINGERPRINT_K)),
+    )
+    hashes = F.transform(arr, lambda s: _stable_hash_expr(s))
+    return docs.select(
+        "doc_id",
+        F.array_min(hashes).alias("fp_min"),
+        F.array_max(hashes).alias("fp_max"),
+    )
+
+
+FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       list_min([{_stable_hash_sql("substr(lower(text), i, " + str(FINGERPRINT_K) + ")")}
+                 for i in generate_series(1, greatest(len(lower(text)) - {FINGERPRINT_K - 1}, 1))]) AS fp_min,
+       list_max([{_stable_hash_sql("substr(lower(text), i, " + str(FINGERPRINT_K) + ")")}
+                 for i in generate_series(1, greatest(len(lower(text)) - {FINGERPRINT_K - 1}, 1))]) AS fp_max
+FROM documents
+"""

@@ -339,6 +339,111 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# training-data operators (dedup / similarity / text analysis / multimodal)
+# ---------------------------------------------------------------------------
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cds_spark.operators.textdedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cds_spark.operators.textdedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+
+
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cds_spark.operators.textdedup import simhash_signatures
+
+    return simhash_signatures(load(spark, sf_dir, "documents"))
+
+
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cds_spark.operators.textdedup import simhash_near_pairs
+
+    return simhash_near_pairs(load(spark, sf_dir, "documents"))
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cds_spark.operators.similarity import brute_force_topk
+
+    return brute_force_topk(load(spark, sf_dir, "embeddings"))
+
+
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cds_spark.operators.similarity import lsh_bucketed_topk
+
+    return lsh_bucketed_topk(load(spark, sf_dir, "embeddings"))
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cds_spark.operators.similarity import near_dup_pairs
+
+    return near_dup_pairs(load(spark, sf_dir, "embeddings"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cds_spark.operators.textstats import quality_scores
+
+    return quality_scores(load(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cds_spark.operators.textstats import lang_id
+
+    return lang_id(load(spark, sf_dir, "documents"))
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cds_spark.operators.textstats import token_counts
+
+    return token_counts(load(spark, sf_dir, "documents"))
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cds_spark.operators.textstats import fingerprints
+
+    return fingerprints(load(spark, sf_dir, "documents"))
+
+
+def q_multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-side manifest over synthesized media blobs (byte size + digest);
+    the Arrow/mapInPandas feature path is exercised in tests (no SQL oracle
+    for Python feature extraction)."""
+    from cds_spark.operators.multimodal import synth_media
+
+    media = synth_media(load(spark, sf_dir, "documents"))
+    return media.select(
+        "media_id",
+        "media_type",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.sha2("payload", 256).alias("digest"),
+        F.col("meta.width").alias("width"),
+    )
+
+
+ORACLE_MULTIMODAL = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS digest,
+       CAST(doc_id % 1920 + 1 AS INTEGER) AS width
+FROM documents
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-batched mapInPandas feature-extraction path (stub decoder).
+    No SQL oracle (Python stage) — driver records rows-only."""
+    from cds_spark.operators.multimodal import extract_features, synth_media
+
+    return extract_features(synth_media(load(spark, sf_dir, "documents")))
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -355,6 +460,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "top_orders_per_customer": q_top_orders_per_customer,
+    "dedup_ngram_jaccard": q_ngram_jaccard,
+    "dedup_minhash_lsh": q_minhash_lsh,
+    "dedup_simhash_signatures": q_simhash_signatures,
+    "dedup_simhash_near_pairs": q_simhash_near_pairs,
+    "dedup_embedding_cosine": q_embedding_near_dup,
+    "ann_cosine_topk": q_ann_topk,
+    "ann_cosine_topk_lsh": q_ann_topk_lsh,
+    "text_quality_scores": q_text_quality,
+    "text_lang_id": q_lang_id,
+    "text_token_counts": q_token_counts,
+    "text_fingerprints": q_fingerprints,
+    "multimodal_manifest": q_multimodal_manifest,
+    "multimodal_features": q_multimodal_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -371,3 +489,26 @@ ORACLES: dict[str, str] = {
     "revenue_by_nation": ORACLE_REVENUE_NATION,
     "top_orders_per_customer": ORACLE_TOP_ORDERS,
 }
+
+
+def _training_oracles() -> dict[str, str]:
+    from cds_spark.operators import similarity, textdedup, textstats
+
+    return {
+        "dedup_ngram_jaccard": textdedup.NGRAM_JACCARD_SQL,
+        "dedup_minhash_lsh": textdedup.MINHASH_LSH_SQL,
+        "dedup_simhash_signatures": textdedup.SIMHASH_SIG_SQL,
+        "dedup_simhash_near_pairs": textdedup.SIMHASH_PAIRS_SQL,
+        "dedup_embedding_cosine": similarity.NEAR_DUP_SQL,
+        "ann_cosine_topk": similarity.BRUTE_TOPK_SQL,
+        "ann_cosine_topk_lsh": similarity.lsh_bucketed_topk_sql(),
+        "text_quality_scores": textstats.QUALITY_SQL,
+        "text_lang_id": textstats.LANG_ID_SQL,
+        "text_token_counts": textstats.TOKEN_COUNT_SQL,
+        "text_fingerprints": textstats.FINGERPRINT_SQL,
+        "multimodal_manifest": ORACLE_MULTIMODAL,
+        # multimodal_features: Python mapInPandas stage — rows-only check
+    }
+
+
+ORACLES.update(_training_oracles())

@@ -1,0 +1,144 @@
+"""Unit tests for training-data operators (dedup, similarity, text, media)."""
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_minhash_lsh_is_subset_of_exact_with_high_recall(spark):
+    """LSH candidates that pass the verify filter must be exact-Jaccard
+    pairs; recall of the banded scheme should be high at this threshold."""
+    from cds_spark.operators.textdedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    docs = _docs(spark).limit(150)
+    exact = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(docs).collect()}
+    lsh = {(r.doc_a, r.doc_b): r.jaccard for r in minhash_lsh_pairs(docs).collect()}
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert abs(exact[k] - v) < 1e-9
+    strong = {k for k, v in exact.items() if v >= 0.5}
+    if strong:
+        recall = len(strong & set(lsh)) / len(strong)
+        assert recall >= 0.8
+
+
+def test_simhash_similar_docs_have_small_hamming(spark):
+    from cds_spark.operators.textdedup import simhash_signatures
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy cat again and again"),
+            (3, "completely different words about spark shuffles and parquet files"),
+        ],
+        "doc_id long, text string",
+    )
+    sig = {r.doc_id: r.simhash for r in simhash_signatures(df).collect()}
+    d12 = bin(sig[1] ^ sig[2]).count("1")
+    d13 = bin(sig[1] ^ sig[3]).count("1")
+    assert d12 < d13
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    import numpy as np
+
+    from cds_spark.operators.similarity import N_QUERIES, TOP_K, brute_force_topk
+
+    emb = _emb(spark)
+    rows = {r.vec_id: np.array(r.embedding, dtype="float64") for r in emb.collect()}
+    got = brute_force_topk(emb).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q in range(N_QUERIES):
+        qv = rows[q]
+        sims = {}
+        for vid, v in rows.items():
+            if vid == q:
+                continue
+            sims[vid] = round(float(np.dot(qv, v) / (np.linalg.norm(qv) * np.linalg.norm(v))), 6)
+        expect = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:TOP_K]
+        mine = sorted(by_q[q], key=lambda r: r.rank)
+        assert [m.neighbor_id for m in mine] == [e[0] for e in expect]
+        for m, e in zip(mine, expect):
+            assert math.isclose(m.cos_sim, e[1], abs_tol=2e-6)
+
+
+def test_lsh_topk_results_are_true_cosines(spark):
+    """LSH top-k is a recall-reduced subset: every reported sim must equal
+    the exact cosine for that pair."""
+    import numpy as np
+
+    from cds_spark.operators.similarity import lsh_bucketed_topk
+
+    emb = _emb(spark)
+    rows = {r.vec_id: np.array(r.embedding, dtype="float64") for r in emb.collect()}
+    for r in lsh_bucketed_topk(emb).collect():
+        qv, nv = rows[r.query_id], rows[r.neighbor_id]
+        exact = float(np.dot(qv, nv) / (np.linalg.norm(qv) * np.linalg.norm(nv)))
+        assert math.isclose(r.cos_sim, round(exact, 6), abs_tol=2e-6)
+
+
+def test_multimodal_feature_extraction_arrow_path(spark):
+    from cds_spark.operators.multimodal import extract_features, synth_media
+
+    docs = _docs(spark).limit(50)
+    media = synth_media(docs)
+    feats = {r.media_id: r for r in extract_features(media).collect()}
+    src = {r.doc_id: r.text for r in docs.collect()}
+    assert set(feats) == set(src)
+    for did, text in src.items():
+        f = feats[did]
+        assert f.n_bytes == len(text.encode())
+        assert f.digest == hashlib.sha256(text.encode()).hexdigest()
+        assert 1 <= f.n_frames_sampled <= 7
+
+
+def test_quality_and_tokens_sane(spark):
+    from cds_spark.operators.textstats import quality_scores, token_counts
+
+    docs = _docs(spark).limit(20)
+    for r in quality_scores(docs).collect():
+        assert r.n_words > 0 and r.n_chars > 0
+        assert 0 <= r.stop_ratio <= 1 and 0 <= r.alpha_ratio <= 1
+        assert 0 <= r.quality_score <= 1.0
+    for r in token_counts(docs).collect():
+        assert r.n_regex_tokens >= r.n_whitespace_tokens > 0 or r.n_regex_tokens > 0
+
+
+def test_decode_real_is_explicit_stub():
+    import pytest as _pytest
+
+    from cds_spark.operators.multimodal import decode_real
+
+    with _pytest.raises(NotImplementedError):
+        decode_real(b"bytes", "image/png")
+
+
+def test_columnwise_lww_partial_updates(spark):
+    """Mongo $set partial updates: later event without a column must not
+    clobber the older value (existsKeys semantics, parse.go:268-306)."""
+    from cds_spark.operators.dedup import lww_collapse_columnwise
+
+    df = spark.createDataFrame(
+        [
+            (1, "000001", 10, "a", "x"),
+            (1, "000002", 11, None, "y"),   # $set only touched two cols
+            (1, "000003", 12, "c", None),
+        ],
+        "pk long, commit string, _offset long, col1 string, col2 string",
+    )
+    out = lww_collapse_columnwise(df, ["pk"], ["commit", "_offset"]).collect()[0]
+    assert out.col1 == "c" and out.col2 == "y"
+    assert out.commit == "000003"

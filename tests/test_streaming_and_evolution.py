@@ -1,0 +1,161 @@
+"""Streaming resume, schema evolution, type coercion, and lake maintenance."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from cds_spark.lake.table import LakeTable
+from cds_spark.operators.decode import decode_feed, events_to_rows
+from cds_spark.sources.feed import REPO_SCHEMA, change_feed, reference_replay_pandas, write_feed_files
+from cds_spark.streaming.pipeline import IncrementalSync, JobSpec
+
+
+def _mk_table(spark, tmp_path, name="t", n_buckets=8):
+    return LakeTable.create(
+        spark, str(tmp_path / name), REPO_SCHEMA, pk=["repo", "path"],
+        version_cols=["commit", "_offset"], n_buckets=n_buckets,
+    )
+
+
+def test_streaming_kill_resume_exactly_once(spark, tmp_path):
+    feed = change_feed(spark, 2000, n_repos=10, paths_per_repo=20, seed=3).persist()
+    oracle = reference_replay_pandas([r.asDict() for r in feed.collect()])
+    topic = str(tmp_path / "topic")
+    write_feed_files(feed.filter("offset < 1200"), topic, 4)
+    _mk_table(spark, tmp_path, "repos")
+    spec = JobSpec(job_id="j1", table_root=str(tmp_path / "repos"), source_dir=topic,
+                   checkpoint_dir=str(tmp_path / "ckpt"), max_files_per_trigger=2)
+    IncrementalSync(spark, spec).run_available()
+    # "crash" then more data arrives; new driver instance resumes
+    write_feed_files(feed.filter("offset >= 1200"), topic, 2)
+    IncrementalSync(spark, spec).run_available()
+    t = LakeTable.load(spark, str(tmp_path / "repos"))
+    live = {(r.repo, r.path): r.content for r in t.current().collect()}
+    assert len(live) == len(oracle)
+    assert all(live[k] == v["content"] for k, v in oracle.items())
+    # lineage recorded per batch with per-partition offsets
+    lines = [json.loads(l) for l in open(t.root + "/_lineage/j1.jsonl")]
+    assert len(lines) >= 3 and all("partitions" in l for l in lines if not l.get("skipped"))
+    feed.unpersist()
+
+
+def test_schema_evolution_new_column(spark, tmp_path):
+    table = _mk_table(spark, tmp_path)
+    base = change_feed(spark, 200, n_repos=5, paths_per_repo=10, seed=9)
+    spec = JobSpec(job_id="evo", table_root=table.root, source_dir="unused",
+                   checkpoint_dir="unused")
+    sync = IncrementalSync(spark, spec)
+    sync.process_batch(base, 0)
+    # events arrive with a brand-new column `stars` (long-typed JSON value)
+    evolved = base.filter("op != 'd'").withColumn(
+        "payload",
+        F.to_json(
+            F.struct(
+                F.col("repo"), F.col("path"), F.col("commit"), F.lit("py").alias("lang"),
+                F.lit("new-content").alias("content"),
+                (F.col("offset") % 100).alias("stars"),
+            )
+        ),
+    ).withColumn("offset", F.col("offset") + 10_000)
+    sync.process_batch(evolved, 1)
+    t2 = LakeTable.load(spark, table.root)
+    assert "stars" in [f.name for f in t2.schema.fields]
+    assert dict((f.name, f.dataType.typeName()) for f in t2.schema.fields)["stars"] == "long"
+    rows = t2.current().filter(F.col("stars").isNotNull()).count()
+    assert rows > 0
+    # old rows (deleted keys' tombstones etc.) read back with NULL stars
+    assert t2.read(live_only=False).count() >= rows
+
+
+def test_schema_evolution_missing_columns_null(spark, tmp_path):
+    """Events omitting known columns leave NULL (parse.go:150-157 analog)."""
+    table = _mk_table(spark, tmp_path)
+    ev = spark.createDataFrame(
+        [("c", "r1", "p1", "000001", 0, '{"repo":"r1","path":"p1","commit":"000001"}', 0)],
+        "op string, repo string, path string, commit string, offset long, payload string, partition int",
+    )
+    events = decode_feed(ev, inject={"commit": "commit"})
+    rows, dlq = events_to_rows(events, table.schema, table.pk)
+    table.merge(rows)
+    out = table.current().collect()[0]
+    assert out.lang is None and out.content is None
+
+
+def test_dlq_missing_pk(spark, tmp_path):
+    table = _mk_table(spark, tmp_path)
+    ev = spark.createDataFrame(
+        [
+            ("c", "000001", 0, '{"repo":"r1","commit":"000001","lang":"py","content":"x"}', 0),
+            ("c", "000001", 1, '{"repo":"r1","path":"p","commit":"000001","lang":"py","content":"y"}', 0),
+            ("u", "000002", 2, "not-json{{", 0),
+        ],
+        "op string, commit string, offset long, payload string, partition int",
+    )
+    events = decode_feed(ev, inject={"commit": "commit"})
+    rows, dlq = events_to_rows(events, table.schema, table.pk)
+    assert rows.count() == 1
+    assert dlq.count() == 2  # missing path + unparseable payload
+
+
+def test_type_widening_alter(spark, tmp_path):
+    import pyspark.sql.types as T
+
+    table = _mk_table(spark, tmp_path)
+    table.alter_add_columns([T.StructField("stars", T.IntegerType(), True)])
+    table.alter_widen_column("stars", T.LongType())
+    assert [f.dataType.typeName() for f in table.schema.fields if f.name == "stars"] == ["long"]
+    with pytest.raises(ValueError):
+        table.alter_widen_column("stars", T.IntegerType())  # narrowing refused
+
+
+def test_lenient_coercion_matrix(spark):
+    """cds's never-fail coercions (canalsyncmodel.go:100-146,
+    debeziumsyncdatatype.go:156-170): bad int -> 0, bad time -> epoch,
+    epoch-ms ints -> timestamps."""
+    from cds_spark.schema import coerce
+    import pyspark.sql.types as T
+
+    df = spark.createDataFrame(
+        [("abc", "2024-01-02 03:04:05", "1700000000000", "xyz")],
+        "bad_int string, good_ts string, ms_ts string, bad_ts string",
+    )
+    out = df.select(
+        coerce(F.col("bad_int"), T.LongType()).alias("i"),
+        coerce(F.col("good_ts"), T.TimestampType()).alias("t1"),
+        coerce(F.col("ms_ts"), T.TimestampType()).alias("t2"),
+        coerce(F.col("bad_ts"), T.TimestampType()).alias("t3"),
+    ).collect()[0]
+    assert out.i == 0
+    assert str(out.t1) == "2024-01-02 03:04:05"
+    assert out.t2.year == 2023
+    assert str(out.t3) == "1970-01-01 00:00:00"
+
+
+def test_compact_purges_tombstones(spark, tmp_path):
+    table = _mk_table(spark, tmp_path)
+    feed = change_feed(spark, 500, n_repos=5, paths_per_repo=10, seed=4)
+    events = decode_feed(feed, inject={"commit": "commit"})
+    rows, _ = events_to_rows(events, table.schema, table.pk)
+    table.merge(rows)
+    with_tomb = table.read(live_only=False).count()
+    live = table.current().count()
+    assert with_tomb > live  # some deletes happened
+    table.compact(purge_tombstones=True)
+    assert table.read(live_only=False).count() == live
+    assert table.current().count() == live
+
+
+def test_time_travel_and_history(spark, tmp_path):
+    table = _mk_table(spark, tmp_path)
+    f1 = change_feed(spark, 300, n_repos=5, paths_per_repo=10, seed=5)
+    f2 = change_feed(spark, 300, n_repos=5, paths_per_repo=10, seed=5, start_offset=300)
+    for i, f in enumerate([f1, f2]):
+        ev = decode_feed(f, inject={"commit": "commit"})
+        rows, _ = events_to_rows(ev, table.schema, table.pk)
+        table.merge(rows, fence=("tt", i))
+    v2 = LakeTable.load(spark, table.root, version=2)
+    v3 = LakeTable.load(spark, table.root, version=3)
+    assert v2.current().count() <= v3.read(live_only=False).count()
+    ops = [h["summary"].get("operation") for h in table.history()]
+    assert ops == ["create", "merge", "merge"]
