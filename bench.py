@@ -1,0 +1,154 @@
+"""Benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] plus a CDC end-to-end replay throughput measure
+(generate feed -> decode -> LWW collapse -> lake MERGE), and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ..., "cdc_replay": {...}}.
+
+Scaling-efficiency evidence (north rule: N vs 4N executors) lives in
+tools/bench_scaling.py, which runs the same replay in two subprocesses at
+local[8] and local[32] and writes BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPLAY_EVENTS = int(os.environ.get("CDS_BENCH_REPLAY_EVENTS", "2000000"))
+
+# headline set: every operator family, excluding the O(n^2)-by-design exact
+# baselines (dedup_ngram_jaccard, dedup_embedding_cosine have LSH scale
+# variants benched instead)
+HEADLINE = [
+    "cdc_lww_current_state",
+    "cdc_lww_tombstone_state",
+    "cdc_op_normalize_counts",
+    "cdc_snapshot_asof",
+    "cdc_inbatch_collapse",
+    "cdc_json_payload_stats",
+    "dedup_exact",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_orders_per_customer",
+    "dedup_minhash_lsh",
+    "dedup_simhash_signatures",
+    "ann_cosine_topk",
+    "ann_cosine_topk_lsh",
+    "text_quality_scores",
+    "text_token_counts",
+    "text_fingerprints",
+    "multimodal_features",
+]
+
+
+def _exec(df) -> None:
+    """Fully execute a plan without driver-side collection."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def cdc_replay(
+    spark,
+    n_events: int,
+    work_dir: str,
+    n_buckets: int = 64,
+    n_batches: int = 8,
+    mode: str = "append",
+    compact: bool = True,
+) -> dict:
+    """End-to-end replay: synthetic feed (on-the-fly, JVM-generated) ->
+    micro-batches of decode -> typed rows -> in-batch LWW -> MERGE into a
+    fresh lake table (+ final compaction in append mode). Returns events/sec.
+
+    append mode = the reference's ReplacingMergeTree ingest shape (O(batch)
+    per micro-batch, collapse amortized in compact); upsert = copy-on-write
+    MERGE INTO shape (O(touched buckets) per batch)."""
+    from cds_spark.lake.table import LakeTable
+    from cds_spark.operators.decode import decode_feed, events_to_rows
+    from cds_spark.sources.feed import REPO_SCHEMA, change_feed
+
+    import uuid
+
+    root = os.path.join(work_dir, f"repos_{mode}_{uuid.uuid4().hex[:8]}")
+    table = LakeTable.create(
+        spark, root, REPO_SCHEMA, pk=["repo", "path"],
+        version_cols=["commit", "_offset"], n_buckets=n_buckets,
+        properties={"merge_mode": mode},
+    )
+    per = n_events // n_batches
+    t0 = time.time()
+    for i in range(n_batches):
+        feed = change_feed(
+            spark, per, n_repos=2000, paths_per_repo=500, seed=42,
+            n_partitions=CPUS, start_offset=i * per,
+        )
+        events = decode_feed(feed, inject={"commit": "commit"})
+        rows, _dlq = events_to_rows(events, table.schema, table.pk)
+        table.merge(rows, fence=("bench", i))
+    if mode == "append" and compact:
+        table.compact(purge_tombstones=True)
+    dt = time.time() - t0
+    live = table.current().count()
+    return {
+        "mode": mode,
+        "n_events": n_events,
+        "n_batches": n_batches,
+        "sec": round(dt, 2),
+        "events_per_sec": round(n_events / dt),
+        "live_rows": live,
+    }
+
+
+def main() -> None:
+    from cds_spark.queries import QUERIES
+    from cds_spark.session import get_spark
+
+    spark = get_spark("cds-bench", cores=CPUS, shuffle_partitions=CPUS * 2)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        _exec(fn(spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    work = tempfile.mkdtemp(prefix="cds_bench_")
+    try:
+        replay = cdc_replay(spark, REPLAY_EVENTS, work, mode="append")
+        replay_upsert = cdc_replay(
+            spark, REPLAY_EVENTS // 4, work, mode="upsert", n_batches=4
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    timings["cdc_replay_append"] = replay["sec"]
+    timings["cdc_replay_upsert"] = replay_upsert["sec"]
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_plus_cdc_replay_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "cpus": CPUS,
+                "cdc_replay": replay,
+                "cdc_replay_upsert": replay_upsert,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -274,11 +274,17 @@ class LakeTable:
         buckets: Sequence[int] | None = None,
         live_only: bool = True,
         with_meta: bool = False,
+        collapse: bool = True,
     ) -> DataFrame:
         """Snapshot read. ``live_only`` filters tombstones (the ``{t}_now``
         view); ``with_meta`` keeps ``_is_delete``/``_offset``. Bucket
         pruning skips files whose bucket is not requested — manifest-level
-        partition pruning."""
+        partition pruning.
+
+        After append-mode merges a bucket holds multiple row generations;
+        ``collapse`` applies the LWW window (ClickHouse ``FINAL`` analog)
+        so readers always see one row per key. Callers that collapse
+        downstream anyway (merge itself) pass collapse=False."""
         files = self.manifest["files"]
         if buckets is not None:
             want = set(int(b) for b in buckets)
@@ -308,6 +314,10 @@ class LakeTable:
             df = parts[0]
             for p in parts[1:]:
                 df = df.unionByName(p)
+        if collapse and self.properties.get("needs_collapse"):
+            df = lww_collapse(df, self.pk, self.version_cols).select(
+                *[f.name for f in phys_cur.fields]
+            )
         if live_only:
             df = df.filter(~F.coalesce(F.col(IS_DELETE), F.lit(False)))
         if not with_meta:
@@ -321,11 +331,21 @@ class LakeTable:
     # ------------------------------------------------------------- write
     def _write_txn(self, df: DataFrame, txn_name: str, n_partitions: int) -> list[dict]:
         """Write df (must contain ``_bucket``) partitioned by bucket under a
-        fresh txn dir; return manifest file entries."""
+        fresh txn dir; return manifest file entries.
+
+        The shuffle key is (bucket, salt): hashing bare bucket ids into
+        n_partitions leaves ~1/e of partitions empty and piles 2-3 buckets
+        on others (balls-into-bins), capping parallelism. Salting by PK hash
+        spreads each bucket over a few tasks — a bucket then spans several
+        files, which the manifest tracks anyway. salt_n targets ~4 shuffle
+        keys per write partition."""
+        n_partitions = max(1, n_partitions)
+        salt_n = max(1, (4 * n_partitions + self.n_buckets - 1) // self.n_buckets)
+        salt = F.pmod(F.xxhash64(F.lit(1), *[F.col(c) for c in self.pk]), F.lit(salt_n))
         txn_rel = os.path.join(DATA_DIR, txn_name)
         txn_dir = os.path.join(self.root, txn_rel)
         (
-            df.repartition(max(1, n_partitions), F.col("_bucket"))
+            df.repartition(n_partitions, F.col("_bucket"), salt)
             .sortWithinPartitions(*self.pk)
             .write.partitionBy("_bucket")
             .parquet(txn_dir, mode="errorifexists")
@@ -384,44 +404,85 @@ class LakeTable:
         fence: tuple[str, int] | None = None,
         precollapsed: bool = False,
         extra_properties: dict | None = None,
+        mode: str | None = None,
     ) -> MergeStats:
-        """MERGE INTO: upsert/delete by PK with LWW-on-version semantics.
+        """MERGE by PK with LWW-on-version semantics. Two physical modes:
+
+        - ``upsert`` (copy-on-write, Iceberg MERGE INTO analog): read the
+          buckets containing source keys, union+collapse, rewrite those
+          buckets. Untouched buckets carry forward by manifest reference.
+          Reads stay cheap (one generation per bucket); writes pay the
+          bucket rewrite.
+        - ``append`` (merge-on-read — the reference's actual architecture:
+          ClickHouse ReplacingMergeTree appends versioned rows and collapses
+          at background-merge/FINAL time, pkg/table/table.go:123-139 +
+          doc/CDS中ClickHouse使用的建表方案.md:36-48): collapse the batch,
+          bucket-partition, append new files; NO target read or rewrite.
+          Reads apply the LWW window; ``compact()`` amortizes the collapse.
+          This is the 10^10-events/day ingest path — per-batch work is
+          O(batch), never O(table).
 
         ``source``: logical columns + ``_is_delete`` + ``_offset``. Rows are
-        collapsed to one per PK (in-batch merge, parse.go:268-306) unless
+        collapsed to one per PK in-batch (parse.go:268-306) unless
         ``precollapsed``. An incoming row only replaces the stored row if
-        its version tuple is >= — so at-least-once replay and out-of-order
-        delivery converge to the same state (ReplacingMergeTree semantics).
+        its version tuple is larger — at-least-once replay and out-of-order
+        delivery converge to the same state.
 
-        Scale path: only buckets containing source keys are read+rewritten;
-        the rest of the table is carried forward by manifest reference.
+        Default mode comes from the table property ``merge_mode`` (set at
+        create; defaults to upsert).
         """
         if fence and self._fence_applied(fence):
             return MergeStats(skipped=True, version=self.version)
+        mode = mode or self.properties.get("merge_mode", "upsert")
         src = self._with_meta_defaults(source)
-        if not precollapsed:
+        # in-batch collapse is required for upsert (one row per key before
+        # the COW union) but OPTIONAL for append: the LWW read/compact
+        # absorbs intra-batch duplicates, so the fast path is a single
+        # shuffle (the reference likewise wrote an in-batch merge and
+        # disabled it — cmd/rtu/handle/parse.go:267 "note not use")
+        if not precollapsed and (
+            mode != "append" or self.properties.get("append_inbatch_collapse", False)
+        ):
             src = lww_collapse(src, self.pk, self.version_cols)
         src = src.withColumn("_bucket", self._bucket_expr())
-        # cache: we need src twice (bucket discovery + merge). At scale this
-        # is one micro-batch — small relative to the table.
+
+        if mode == "append":
+            # one pass: collapse + bucket + write; bucket stats read back
+            # from the written files (no extra job over the source)
+            entries = self._write_txn(src, f"txn-{self.version + 1:08d}", self._n_write_parts())
+            touched = sorted({e["bucket"] for e in entries})
+            m = self._next_manifest(
+                {"operation": "append-merge", "touched_buckets": len(touched)}
+            )
+            m["files"] = self.manifest["files"] + entries
+            m["properties"]["needs_collapse"] = True
+            if fence:
+                m["properties"][f"fence.{fence[0]}"] = int(fence[1])
+            if extra_properties:
+                m["properties"].update(extra_properties)
+            self._commit(m)
+            return MergeStats(
+                skipped=False, version=self.version, touched_buckets=len(touched),
+                total_buckets=self.n_buckets, rows_written=len(entries),
+            )
+
+        # upsert (copy-on-write): need src twice (bucket discovery + merge)
         src = src.persist()
         try:
-            touched_rows = src.select("_bucket").distinct().collect()
-            touched = sorted(r["_bucket"] for r in touched_rows)
-            n_src = src.count()
+            bucket_counts = src.groupBy("_bucket").count().collect()
+            touched = sorted(int(r["_bucket"]) for r in bucket_counts)
+            n_src = sum(int(r["count"]) for r in bucket_counts)
             if not touched:
                 return MergeStats(skipped=False, version=self.version, source_rows=0,
                                   total_buckets=self.n_buckets)
-            target = self.read(buckets=touched, live_only=False, with_meta=True).withColumn(
-                "_bucket", self._bucket_expr()
-            )
+            target = self.read(
+                buckets=touched, live_only=False, with_meta=True, collapse=False
+            ).withColumn("_bucket", self._bucket_expr())
             merged = lww_collapse(
                 target.unionByName(src), self.pk, self.version_cols
             )
-            n_parts = max(1, min(len(touched),
-                                 int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))))
+            n_parts = max(1, min(len(touched), self._n_write_parts()))
             entries = self._write_txn(merged, f"txn-{self.version + 1:08d}", n_parts)
-            rows_written = sum(1 for _ in entries)  # file count; row counts via summary
             m = self._next_manifest(
                 {
                     "operation": "merge",
@@ -442,10 +503,13 @@ class LakeTable:
                 source_rows=n_src,
                 touched_buckets=len(touched),
                 total_buckets=self.n_buckets,
-                rows_written=rows_written,
+                rows_written=len(entries),
             )
         finally:
             src.unpersist()
+
+    def _n_write_parts(self) -> int:
+        return int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     # -------------------------------------------------------- maintenance
     def compact(self, purge_tombstones: bool = False) -> None:
@@ -455,8 +519,8 @@ class LakeTable:
         df = self.read(live_only=False, with_meta=True).withColumn("_bucket", self._bucket_expr())
         if purge_tombstones:
             df = df.filter(~F.col(IS_DELETE))
-        shuffle_n = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        entries = self._write_txn(df, f"txn-{self.version + 1:08d}-compact", shuffle_n)
+        entries = self._write_txn(df, f"txn-{self.version + 1:08d}-compact", self._n_write_parts())
         m = self._next_manifest({"operation": "compact", "purged": purge_tombstones})
         m["files"] = entries
+        m["properties"]["needs_collapse"] = False  # one generation per bucket again
         self._commit(m)

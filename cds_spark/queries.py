@@ -26,12 +26,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-# op normalization: the c/u/d whitelist mapping
-_OP = (
-    F.when(F.col("event_type") == "signup", "c")
-    .when(F.col("event_type") == "error", "d")
-    .otherwise("u")
-)
+# op normalization: the c/u/d whitelist mapping (lazy: Column exprs need an
+# active SparkContext, so never build them at import time)
+def _op_expr():
+    return (
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+    )
+
+
 _OP_SQL = (
     "CASE WHEN event_type='signup' THEN 'c' "
     "WHEN event_type='error' THEN 'd' ELSE 'u' END"
@@ -40,7 +44,7 @@ _OP_SQL = (
 
 def _changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events -> normalized change feed (op, user_id, version=(ts,event_id))."""
-    return load(spark, sf_dir, "events").withColumn("op", _OP)
+    return load(spark, sf_dir, "events").withColumn("op", _op_expr())
 
 
 # ---------------------------------------------------------------------------

@@ -28,7 +28,10 @@ _DEFAULTS = {
     "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.ui.enabled": "false",
-    "spark.driver.memory": os.environ.get("CDS_SPARK_DRIVER_MEM", "8g"),
+    # local mode = ONE JVM hosting all task slots: size the heap for 32
+    # concurrent tasks over wide string rows or GC becomes the bottleneck
+    # (a real cluster sizes per-executor memory instead)
+    "spark.driver.memory": os.environ.get("CDS_SPARK_DRIVER_MEM", "48g"),
     # parquet writer defaults: zstd is the right call at 100TB (ratio ~ snappy speed)
     "spark.sql.parquet.compression.codec": "zstd",
 }

@@ -51,6 +51,9 @@ class JobSpec:
     evolve_schema: bool = True
     dlq_dir: str | None = None
     lineage_dir: str | None = None
+    #: None -> table default; "append" = merge-on-read fast ingest,
+    #: "upsert" = copy-on-write (see LakeTable.merge)
+    merge_mode: str | None = None
 
 
 def discover_and_evolve(table: LakeTable, batch: DataFrame, payload_col: str = "payload") -> list[str]:
@@ -132,7 +135,7 @@ class IncrementalSync:
         if self.spec.dlq_dir:
             dlq_out = dlq.withColumn("_batch_id", F.lit(batch_id))
             dlq_out.write.mode("append").parquet(self.spec.dlq_dir)
-        stats = table.merge(rows, fence=(self.spec.job_id, batch_id))
+        stats = table.merge(rows, fence=(self.spec.job_id, batch_id), mode=self.spec.merge_mode)
         rec = {
             "job_id": self.spec.job_id,
             "batch_id": batch_id,

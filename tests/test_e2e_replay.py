@@ -115,3 +115,26 @@ def test_lww_collapse_in_batch(spark):
     out = lww_collapse(df, ["repo", "path"], ["commit", "_offset"]).collect()
     state = {(r["repo"], r["path"]): r["content"] for r in out}
     assert state == {("r", "p"): "new", ("r", "q"): "only"}
+
+
+def test_append_mode_replay_matches_oracle(spark, feed, oracle_state, tmp_path):
+    """Merge-on-read mode (ReplacingMergeTree analog): append versioned
+    rows per batch, collapse at read; compact() preserves the state."""
+    root = str(tmp_path / "repos_append")
+    table = LakeTable.create(
+        spark, root, REPO_SCHEMA, pk=["repo", "path"], version_cols=["commit", "_offset"],
+        n_buckets=16, properties={"merge_mode": "append"},
+    )
+    per = N_EVENTS // 4
+    for i in range(4):
+        batch = feed.filter(
+            (F.col("offset") >= i * per) & (F.col("offset") < (i + 1) * per)
+        )
+        events = decode_feed(batch, inject={"commit": "commit"})
+        rows, _ = events_to_rows(events, table.schema, table.pk)
+        table.merge(rows, fence=("ap", i))
+    _assert_matches_oracle(table, oracle_state)
+    table.compact(purge_tombstones=True)
+    _assert_matches_oracle(table, oracle_state)
+    # after full compact reads skip the LWW window
+    assert table.properties.get("needs_collapse") is False
