@@ -56,41 +56,52 @@ def _exec(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+FEED_KW = dict(n_repos=2000, paths_per_repo=500, seed=42)
+
+
 def cdc_replay(
     spark,
     n_events: int,
     work_dir: str,
     n_buckets: int = 64,
-    n_batches: int = 8,
+    n_batches: int = 4,
     mode: str = "append",
     compact: bool = True,
+    feed_paths: list[str] | None = None,
 ) -> dict:
-    """End-to-end replay: synthetic feed (on-the-fly, JVM-generated) ->
-    micro-batches of decode -> typed rows -> in-batch LWW -> MERGE into a
-    fresh lake table (+ final compaction in append mode). Returns events/sec.
+    """End-to-end replay of a materialized change log: per micro-batch, read
+    the feed slice -> decode (from_json) -> typed rows -> MERGE into a fresh
+    lake table (+ final compaction in append mode). Returns events/sec.
+
+    The feed is written to ``work_dir`` ONCE before the timer starts (the
+    Kafka-topic stand-in — producing the log is not the engine's work; a
+    prior harness generated events inline and mostly measured the synthetic
+    generator, not the engine). Pass ``feed_paths`` to reuse an existing
+    materialized feed across runs/parallelism levels.
 
     append mode = the reference's ReplacingMergeTree ingest shape (O(batch)
     per micro-batch, collapse amortized in compact); upsert = copy-on-write
     MERGE INTO shape (O(touched buckets) per batch)."""
     from cds_spark.lake.table import LakeTable
     from cds_spark.operators.decode import decode_feed, events_to_rows
-    from cds_spark.sources.feed import REPO_SCHEMA, change_feed
+    from cds_spark.sources.feed import FEED_SCHEMA, REPO_SCHEMA, materialize_feed
 
     import uuid
 
+    if feed_paths is None:
+        feed_dir = os.path.join(work_dir, f"feed_{uuid.uuid4().hex[:8]}")
+        feed_paths = materialize_feed(
+            spark, n_events, feed_dir, n_batches, n_partitions=CPUS, **FEED_KW
+        )
     root = os.path.join(work_dir, f"repos_{mode}_{uuid.uuid4().hex[:8]}")
     table = LakeTable.create(
         spark, root, REPO_SCHEMA, pk=["repo", "path"],
         version_cols=["commit", "_offset"], n_buckets=n_buckets,
         properties={"merge_mode": mode},
     )
-    per = n_events // n_batches
     t0 = time.time()
-    for i in range(n_batches):
-        feed = change_feed(
-            spark, per, n_repos=2000, paths_per_repo=500, seed=42,
-            n_partitions=CPUS, start_offset=i * per,
-        )
+    for i, p in enumerate(feed_paths):
+        feed = spark.read.schema(FEED_SCHEMA).parquet(p)
         events = decode_feed(feed, inject={"commit": "commit"})
         rows, _dlq = events_to_rows(events, table.schema, table.pk)
         table.merge(rows, fence=("bench", i))
@@ -101,7 +112,7 @@ def cdc_replay(
     return {
         "mode": mode,
         "n_events": n_events,
-        "n_batches": n_batches,
+        "n_batches": len(feed_paths),
         "sec": round(dt, 2),
         "events_per_sec": round(n_events / dt),
         "live_rows": live,

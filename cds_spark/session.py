@@ -28,11 +28,21 @@ _DEFAULTS = {
     "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.ui.enabled": "false",
-    # local mode = ONE JVM hosting all task slots: size the heap for 32
-    # concurrent tasks over wide string rows or GC becomes the bottleneck
-    # (a real cluster sizes per-executor memory instead)
-    "spark.driver.memory": os.environ.get("CDS_SPARK_DRIVER_MEM", "48g"),
-    # parquet writer defaults: zstd is the right call at 100TB (ratio ~ snappy speed)
+    # local mode = ONE JVM hosting all task slots. Do NOT oversize the heap:
+    # without libhadoop, Hadoop's RawLocalFileSystem shells out (fork+exec)
+    # ~200x per write job for chmod/stat, and fork cost scales with JVM RSS
+    # (page-table copy under mmap_lock). At 48g, G1 let RSS balloon to ~33GB
+    # and every file-writing job intermittently stalled 10-50s at ~90% kernel
+    # time across all 32 cores; at <=16g the same jobs are stable. A real
+    # cluster sizes per-executor memory (4-8g typical) — same envelope.
+    "spark.driver.memory": os.environ.get("CDS_SPARK_DRIVER_MEM", "12g"),
+    # skip the client-side .crc shadow files: halves file ops (and their
+    # fork+exec cost) for local writes; durability is the lake manifest's job
+    "spark.hadoop.fs.file.impl": "org.apache.hadoop.fs.RawLocalFileSystem",
+    # commit algorithm v2: task output moved straight to the job dir (one
+    # rename per file, no second job-commit rename pass)
+    "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
+    # parquet writer defaults: zstd ~ snappy speed here at 2x better ratio
     "spark.sql.parquet.compression.codec": "zstd",
 }
 

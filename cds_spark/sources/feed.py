@@ -126,9 +126,41 @@ def change_feed(
         F.pmod(F.xxhash64(repo), F.lit(n_partitions)).cast("int").alias("partition"),
     )
     if dup_pct > 0:
-        dups = base.filter(F.pmod(F.xxhash64(F.lit(seed + 5), F.col("offset")), F.lit(100)) < dup_pct)
-        base = base.unionAll(dups)
+        # single-pass duplicate delivery: explode each row into 1 or 2 copies
+        # (a union of base + base.filter would re-run the whole generation
+        # expression tree for the duplicate branch — 2x the codegen work)
+        n_copies = F.when(
+            F.pmod(F.xxhash64(F.lit(seed + 5), F.col("offset")), F.lit(100)) < dup_pct,
+            F.lit(2),
+        ).otherwise(F.lit(1))
+        base = base.withColumn("__copy", F.explode(F.sequence(F.lit(1), n_copies))).drop(
+            "__copy"
+        )
     return base
+
+
+def materialize_feed(
+    spark: SparkSession,
+    n_events: int,
+    out_dir: str,
+    n_batches: int,
+    fmt: str = "parquet",
+    **feed_kwargs,
+) -> list[str]:
+    """Write the change feed as ``n_batches`` sequential parquet batch dirs —
+    the benchmark's Kafka-topic stand-in. Generation happens ONCE, outside
+    any timed region: a CDC engine's work starts at *reading* the log
+    (pkg/tube/kfks.go:37-95), producing it is the harness's job. Both
+    parallelism levels of the scaling bench then replay identical bytes."""
+    per = n_events // n_batches
+    paths = []
+    for i in range(n_batches):
+        p = os.path.join(out_dir, f"batch-{i:05d}")
+        change_feed(spark, per, start_offset=i * per, **feed_kwargs).write.mode(
+            "overwrite"
+        ).format(fmt).save(p)
+        paths.append(p)
+    return paths
 
 
 def write_feed_files(

@@ -3,12 +3,17 @@ N to 4N executors).
 
 No real cluster exists in this sandbox, so per the driver's instruction the
 same replay job runs at two parallelism levels — local[8] (N) and local[32]
-(4N) — on identical input (same seed/size, generated on the fly), each in a
-fresh subprocess/JVM. Reports events/sec at both and
+(4N) — each in a fresh subprocess/JVM pinned (sched_setaffinity +
+ActiveProcessorCount) to exactly N cores. The change feed is materialized
+ONCE to tmpfs by a prep pass and both levels replay the identical bytes:
+the timed region is the engine's work (read -> decode -> LWW -> bucketed
+merge -> compact), not the synthetic generator's.
+
+Reports events/sec at both levels and
 
     efficiency = (throughput_4N / throughput_N) / 4
 
-Usage: python tools/bench_scaling.py [n_events] [--update-bench-md]
+Usage: python tools/bench_scaling.py [n_events] [n_batches]
 """
 
 from __future__ import annotations
@@ -20,10 +25,27 @@ import subprocess
 import sys
 import tempfile
 
+PREP = r"""
+import json, os, sys
+sys.path.insert(0, {repo!r})
+os.environ["SPARK_GRAFT_CPUS"] = "32"
+import bench
+from cds_spark.session import get_spark
+from cds_spark.sources.feed import materialize_feed
+feed_dir, n_events, n_batches = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+spark = get_spark("scaling-prep", cores=32, shuffle_partitions=64)
+spark.sparkContext.setLogLevel("ERROR")
+bench.CPUS = 32
+paths = materialize_feed(spark, n_events, feed_dir, n_batches,
+                         n_partitions=32, **bench.FEED_KW)
+print("RESULT " + json.dumps(paths))
+"""
+
 CHILD = r"""
 import json, os, sys, tempfile, shutil, time
 sys.path.insert(0, {repo!r})
 cores = int(sys.argv[1]); n_events = int(sys.argv[2])
+feed_dir = sys.argv[3]
 # make local[N] a TRUE N-core machine: pin this process (and the JVM it
 # spawns, which inherits the affinity mask) to N physical cores, and tell
 # the JVM so GC/JIT/common-pool threads size accordingly. Without this the
@@ -41,47 +63,61 @@ spark = get_spark(
     extra_conf={{
         "spark.driver.extraJavaOptions": f"-XX:ActiveProcessorCount={{cores}}",
         "spark.local.dir": os.path.join(ramdir, "spark-local"),
+        # split the feed scan finer than the default 128MB so the read
+        # stage saturates all task slots at both parallelism levels
+        "spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
     }},
 )
 spark.sparkContext.setLogLevel("ERROR")
-# warmup: JIT + codegen caches, so the measured run is steady-state
-work = os.path.join(ramdir, "warm")
 bench.CPUS = cores
-bench.cdc_replay(spark, max(100_000, n_events // 20), work, n_batches=2)
+feed_paths = sorted(os.path.join(feed_dir, d) for d in os.listdir(feed_dir)
+                    if d.startswith("batch-"))
+# warmup on a copy of the first batch: JIT + codegen caches + parquet
+# footer cache, so the measured run is steady-state
+work = os.path.join(ramdir, "warm")
+bench.cdc_replay(spark, n_events // len(feed_paths), work,
+                 feed_paths=feed_paths[:1])
 shutil.rmtree(work, ignore_errors=True)
-n_batches = int(sys.argv[3]) if len(sys.argv) > 3 else 4
 work = os.path.join(ramdir, "tables")
 try:
-    r = bench.cdc_replay(spark, n_events, work, n_batches=n_batches, mode="append")
+    r = bench.cdc_replay(spark, n_events, work, mode="append",
+                         feed_paths=feed_paths)
 finally:
     shutil.rmtree(ramdir, ignore_errors=True)
 print("RESULT " + json.dumps(r))
 """
 
 
-def run_at(cores: int, n_events: int, n_batches: int = 4) -> dict:
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    script = CHILD.format(repo=repo)
+def _run(script: str, args: list[str], what: str) -> dict | list:
     out = subprocess.run(
-        [sys.executable, "-c", script, str(cores), str(n_events), str(n_batches)],
+        [sys.executable, "-c", script, *args],
         capture_output=True, text=True, timeout=3600,
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
-    raise RuntimeError(f"no result from local[{cores}] run:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+    raise RuntimeError(f"no result from {what}:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 
 
 def main() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     args = [a for a in sys.argv[1:] if a.isdigit()]
-    n_events = int(args[0]) if args else 8_000_000
-    n_batches = int(args[1]) if len(args) > 1 else max(4, n_events // 500_000)
+    n_events = int(args[0]) if args else 16_000_000
+    n_batches = int(args[1]) if len(args) > 1 else 4
     n, four_n = 8, 32
-    r_n = run_at(n, n_events, n_batches)
-    r_4n = run_at(four_n, n_events, n_batches)
+    feed_dir = tempfile.mkdtemp(prefix="cds_scale_feed_", dir="/dev/shm")
+    try:
+        _run(PREP.format(repo=repo), [feed_dir, str(n_events), str(n_batches)], "prep")
+        r_n = _run(CHILD.format(repo=repo), [str(n), str(n_events), feed_dir],
+                   f"local[{n}]")
+        r_4n = _run(CHILD.format(repo=repo), [str(four_n), str(n_events), feed_dir],
+                    f"local[{four_n}]")
+    finally:
+        shutil.rmtree(feed_dir, ignore_errors=True)
     eff = (r_4n["events_per_sec"] / r_n["events_per_sec"]) / (four_n / n)
     report = {
-        "job": "cdc_replay append-mode, 8 micro-batches + final compact",
+        "job": f"cdc_replay append-mode, {n_batches} micro-batches + final compact "
+               "(feed pre-materialized to tmpfs, identical bytes at both levels)",
         "n_events": n_events,
         f"local[{n}]": r_n,
         f"local[{four_n}]": r_4n,
@@ -92,8 +128,7 @@ def main() -> None:
         "pass": eff >= 0.8,
     }
     print(json.dumps(report, indent=2))
-    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                           "BENCH_SCALING.json"), "w") as f:
+    with open(os.path.join(repo, "BENCH_SCALING.json"), "w") as f:
         json.dump(report, f, indent=2)
 
 
