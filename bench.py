@@ -24,7 +24,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-REPLAY_EVENTS = int(os.environ.get("CDS_BENCH_REPLAY_EVENTS", "2000000"))
+# 4 batches of 2M: big enough that per-batch fixed cost (planning, commit)
+# amortizes and the measured number reflects the engine, not the harness
+REPLAY_EVENTS = int(os.environ.get("CDS_BENCH_REPLAY_EVENTS", "8000000"))
 
 # headline set: every operator family, excluding the O(n^2)-by-design exact
 # baselines (dedup_ngram_jaccard, dedup_embedding_cosine have LSH scale

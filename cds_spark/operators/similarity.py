@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cds_spark.functions import cosine
+from cds_spark.operators.textdedup import _spread
 
 N_QUERIES = 5  # vec_id < N_QUERIES are the query vectors
 TOP_K = 10
@@ -51,7 +52,7 @@ def brute_force_topk(emb: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES)
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"))
+    c = _spread(emb).select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"))
     scored = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))
@@ -125,7 +126,7 @@ def lsh_bucketed_topk(
     then exact cosine + rank within bucket. Recall < 1 by design (scale
     path; multi-probe = add neighboring buckets). Same output shape as
     brute_force_topk."""
-    with_bucket = emb.withColumn("bucket", _bucket_expr(F.col("embedding"), dim))
+    with_bucket = _spread(emb).withColumn("bucket", _bucket_expr(F.col("embedding"), dim))
     q = with_bucket.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "bucket"
     )

@@ -45,6 +45,30 @@ MINHASH_B = [_rng.randrange(0, MINHASH_P) for _ in range(N_HASHES)]
 SIMHASH_BITS = 32
 
 
+def _spread(df: DataFrame, factor: int = 1, force: bool = False) -> DataFrame:
+    """Ensure heavy per-row compute doesn't inherit a 1-task layout.
+
+    A small corpus arrives as a single parquet file -> a single scan
+    partition -> every downstream explode/agg in that stage runs on ONE
+    core (observed: 44s single-task minhash verify at sf0.1). Repartition
+    up to cluster parallelism when the input has fewer partitions; no-op
+    on an already-parallel scan (the 100TB case: thousands of files).
+
+    ``force`` skips the partition-count guard: for mid-plan spots (after a
+    join/agg) the pre-AQE partition count lies — AQE will coalesce those
+    small shuffles to ~1 task at runtime, so an explicit user repartition
+    (which AQE respects and never coalesces) is the only reliable lever."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * factor
+    if not force:
+        try:
+            if df.rdd.getNumPartitions() >= target:
+                return df
+        except Exception:
+            pass
+    return df.repartition(target)
+
+
 def _stable_hash_expr(col: F.Column) -> F.Column:
     """First 15 hex chars of md5 as non-negative long — bit-identical to
     DuckDB's CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)."""
@@ -71,7 +95,7 @@ def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         )
     )
     return (
-        docs.filter(F.length(text_col) >= SHINGLE_K)
+        _spread(docs.filter(F.length(text_col) >= SHINGLE_K))
         .select(F.col(id_col).alias("doc_id"), F.explode(arr).alias("s"))
     )
 
@@ -179,6 +203,9 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
         cand.join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sset", "sa"), "doc_a")
         .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sset", "sb"), "doc_b")
     )
+    # the O(|set|) per-pair intersection hot loop parallelizes via the
+    # session's small AQE advisory size (an extra forced repartition here
+    # shuffles the wide shingle arrays again — measured slower)
     inter = F.size(F.array_intersect("sa", "sb")).cast("double")
     union = (F.size("sa") + F.size("sb")).cast("double") - inter
     return (
@@ -237,7 +264,7 @@ WHERE round(len(list_intersect(sa.sset, sb.sset))::DOUBLE /
 def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, simhash): 32-bit majority signature over token hashes
     (token multiplicity counts). One explode + one groupBy (32 sums)."""
-    toks = docs.select(
+    toks = _spread(docs).select(
         F.col("doc_id"),
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("t"),
     )

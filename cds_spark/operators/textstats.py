@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cds_spark.operators.textdedup import _stable_hash_expr, _stable_hash_sql
+from cds_spark.operators.textdedup import _spread, _stable_hash_expr, _stable_hash_sql
 
 # a tiny deterministic "stopword" model for the heuristic scorers
 STOPWORDS = ["the", "a", "and", "of", "to", "in", "is"]
@@ -125,7 +125,8 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         lambda i: t.substr(i, F.lit(FINGERPRINT_K)),
     )
     hashes = F.transform(arr, lambda s: _stable_hash_expr(s))
-    return docs.select(
+    # one md5 per character of text: heavy per-row compute, spread it
+    return _spread(docs).select(
         "doc_id",
         F.array_min(hashes).alias("fp_min"),
         F.array_max(hashes).alias("fp_max"),

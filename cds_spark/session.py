@@ -22,6 +22,13 @@ _DEFAULTS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE coalesces by BYTES, but dedup/similarity verify stages are heavy
+    # CPU-per-byte (array intersections over candidate pairs): the 64MB
+    # default advisory collapsed those stages to 1-3 tasks (44s single-core
+    # minhash verify at sf0.1; 8s with these). Raise advisory back up for
+    # IO-bound 100TB scans — this default favors dense-compute plans.
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1m",
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     # map_concat last-wins: payload values override injected envelope values
