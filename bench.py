@@ -38,6 +38,11 @@ HEADLINE = [
     "cdc_snapshot_asof",
     "cdc_inbatch_collapse",
     "cdc_json_payload_stats",
+    "decode_debezium_mysql",
+    "decode_canal_batch",
+    "decode_connector_mongo",
+    "cdc_lww_columnwise",
+    "cdc_change_rate",
     "dedup_exact",
     "pricing_summary",
     "revenue_by_nation",

@@ -343,6 +343,219 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# wire-dialect decode round-trips (the parse stage, all 4 dialects)
+#
+# Each query builds the reference's wire envelope from the events table with
+# JVM to_json, runs the REAL decoder (cds_spark.operators.decode — the same
+# code the streaming pipeline uses), and projects the normalized rows. The
+# oracle states the expected result directly over events, so any decode bug
+# (op whitelist, before/after selection, batch unpack, partial-update merge)
+# breaks the hash match. Reference: cmd/rtu/handle/parse.go:109-134 + the
+# model decoders (canalsyncmodel.go, debeziumsyncmodel.go,
+# connectormongomodel.go).
+# ---------------------------------------------------------------------------
+
+
+def q_decode_debezium_mysql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """debezium-mysql ``{payload:{before,after,op}}`` round-trip: deletes
+    carry only the before-image (debeziumsyncmodel.go:88-156)."""
+    from cds_spark.operators.decode import decode_debezium_mysql
+
+    ev = load(spark, sf_dir, "events")
+    op = _op_expr()
+    after = F.create_map(
+        F.lit("user_id"), F.col("user_id").cast("string"),
+        F.lit("val"), F.round("value", 2).cast("string"),
+    )
+    before = F.create_map(F.lit("user_id"), F.col("user_id").cast("string"))
+    env = F.to_json(
+        F.struct(
+            F.struct(
+                F.when(op == "d", before).alias("before"),
+                F.when(op != "d", after).alias("after"),
+                op.alias("op"),
+            ).alias("payload")
+        )
+    )
+    wire = ev.select(env.alias("value"), "event_id")
+    dec = decode_debezium_mysql(wire, offset_col="event_id")
+    return dec.select(
+        F.col("_offset").alias("event_id"),
+        F.col("data")["user_id"].cast("long").alias("user_id"),
+        "op",
+        F.col("data")["val"].cast("double").alias("val"),
+    )
+
+
+ORACLE_DECODE_DEBEZIUM = f"""
+SELECT event_id, user_id, {_OP_SQL} AS op,
+       CASE WHEN {_OP_SQL} = 'd' THEN NULL ELSE round(value, 2) END AS val
+FROM events
+"""
+
+
+def q_decode_canal_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """canal-mysql batch unpack: one message carries N rows (explode,
+    canalsyncmodel.go:204-220) + type whitelist (QUERY messages dropped,
+    canalsyncmodel.go:222-226). Every 3rd message carries 2 rows."""
+    from cds_spark.operators.decode import decode_canal
+
+    ev = load(spark, sf_dir, "events")
+    typ = (
+        F.when(F.col("event_type") == "signup", "INSERT")
+        .when(F.col("event_type") == "error", "DELETE")
+        .when(F.col("event_type") == "purchase", "QUERY")  # not whitelisted
+        .otherwise("UPDATE")
+    )
+    def _row(seq: str):
+        return F.create_map(
+            F.lit("user_id"), F.col("user_id").cast("string"),
+            F.lit("seq"), F.lit(seq),
+        )
+    data = F.when(
+        F.pmod(F.col("event_id"), F.lit(3)) == 0, F.array(_row("0"), _row("1"))
+    ).otherwise(F.array(_row("0")))
+    env = F.to_json(F.struct(typ.alias("type"), data.alias("data")))
+    wire = ev.select(env.alias("value"), "event_id")
+    dec = decode_canal(wire, offset_col="event_id")
+    return dec.select(
+        F.col("_offset").alias("event_id"),
+        F.col("data")["user_id"].cast("long").alias("user_id"),
+        "op",
+        F.col("data")["seq"].cast("long").alias("seq"),
+    )
+
+
+ORACLE_DECODE_CANAL = """
+SELECT event_id, user_id,
+       CASE WHEN event_type = 'signup' THEN 'c'
+            WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+       CAST(unnest(CASE WHEN event_id % 3 = 0 THEN [0, 1] ELSE [0] END) AS BIGINT) AS seq
+FROM events WHERE event_type <> 'purchase'
+"""
+
+
+def q_decode_connector_mongo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """connector-mongodb change stream: inserts carry fullDocument, updates
+    are PARTIAL (documentKey + updatedFields merged), deletes key-only
+    (connectormongomodel.go:69-119). n_fields checks the exists mask."""
+    from cds_spark.operators.decode import decode_connector_mongo
+
+    ev = load(spark, sf_dir, "events")
+    opw = (
+        F.when(F.col("event_type") == "signup", "insert")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("update")
+    )
+    full = F.create_map(
+        F.lit("user_id"), F.col("user_id").cast("string"),
+        F.lit("val"), F.round("value", 2).cast("string"),
+        F.lit("src"), F.lit("full"),
+    )
+    dockey = F.create_map(F.lit("user_id"), F.col("user_id").cast("string"))
+    updf = F.create_map(F.lit("val"), F.round("value", 2).cast("string"))
+    env = F.to_json(
+        F.struct(
+            opw.alias("operationType"),
+            F.when(opw == "insert", full).alias("fullDocument"),
+            F.when(opw != "insert", dockey).alias("documentKey"),
+            F.when(
+                opw == "update",
+                F.struct(
+                    updf.alias("updatedFields"),
+                    F.array(F.lit("stale_field")).alias("removedFields"),
+                ),
+            ).alias("updateDescription"),
+        )
+    )
+    wire = ev.select(env.alias("value"), "event_id")
+    dec = decode_connector_mongo(wire, offset_col="event_id")
+    return dec.select(
+        F.col("_offset").alias("event_id"),
+        F.col("data")["user_id"].cast("long").alias("user_id"),
+        "op",
+        F.col("data")["val"].cast("double").alias("val"),
+        F.size("exists").cast("long").alias("n_fields"),
+    )
+
+
+ORACLE_DECODE_MONGO = """
+SELECT event_id, user_id,
+       CASE WHEN event_type = 'signup' THEN 'c'
+            WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+       CASE WHEN event_type = 'error' THEN NULL ELSE round(value, 2) END AS val,
+       CASE WHEN event_type = 'signup' THEN 3
+            WHEN event_type = 'error' THEN 1 ELSE 2 END AS n_fields
+FROM events
+"""
+
+
+def q_cdc_lww_columnwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-wise LWW honoring partial updates (the existsKeys merge,
+    cmd/rtu/model/common.go:49-56 + parse.go:268-306): per column, last
+    NON-NULL value by version; an event that didn't carry a column must not
+    clobber an older value. 'click' events carry only a, 'view' only b."""
+    from cds_spark.operators.dedup import lww_collapse_columnwise
+
+    ev = load(spark, sf_dir, "events")
+    src = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") != "view", F.round("value", 2)).alias("a"),
+        F.when(F.col("event_type") != "click", F.upper("event_type")).alias("b"),
+    )
+    out = lww_collapse_columnwise(src, ["user_id"], ["ts", "event_id"], ["a", "b"])
+    return out.select(
+        "user_id", "a", "b",
+        F.unix_timestamp("ts").alias("last_ts"),
+        F.col("event_id").alias("last_event_id"),
+    )
+
+
+ORACLE_LWW_COLUMNWISE = """
+WITH src AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN event_type <> 'view' THEN round(value, 2) END AS a,
+         CASE WHEN event_type <> 'click' THEN upper(event_type) END AS b
+  FROM events
+)
+SELECT user_id, a, b, last_ts, last_event_id FROM (
+  SELECT user_id,
+         last_value(a IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS a,
+         last_value(b IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS b,
+         CAST(floor(epoch(ts)) AS BIGINT) AS last_ts,
+         event_id AS last_event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM src
+) WHERE rn = 1
+"""
+
+
+def q_cdc_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-minute change-volume metrics (the lineage/metrics sidecar's
+    query shape — windowed counts by op; in streaming this is the
+    watermarked tumbling-window aggregate)."""
+    ch = _changes(spark, sf_dir)
+    return ch.groupBy(
+        F.unix_timestamp(F.date_trunc("minute", F.col("ts"))).alias("minute_ts"),
+        "op",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+ORACLE_CHANGE_RATE = f"""
+SELECT CAST(floor(epoch(date_trunc('minute', ts))) AS BIGINT) AS minute_ts,
+       {_OP_SQL} AS op, count(*) AS n_events, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # training-data operators (dedup / similarity / text analysis / multimodal)
 # ---------------------------------------------------------------------------
 
@@ -460,6 +673,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_pk_semi_lookup": q_cdc_pk_semi_lookup,
     "cdc_keyset_page": q_cdc_keyset_page,
     "cdc_json_payload_stats": q_cdc_json_payload_stats,
+    "decode_debezium_mysql": q_decode_debezium_mysql,
+    "decode_canal_batch": q_decode_canal_batch,
+    "decode_connector_mongo": q_decode_connector_mongo,
+    "cdc_lww_columnwise": q_cdc_lww_columnwise,
+    "cdc_change_rate": q_cdc_change_rate,
     "dedup_exact": q_dedup_exact,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -488,6 +706,11 @@ ORACLES: dict[str, str] = {
     "cdc_pk_semi_lookup": ORACLE_SEMI,
     "cdc_keyset_page": ORACLE_KEYSET,
     "cdc_json_payload_stats": ORACLE_JSON_STATS,
+    "decode_debezium_mysql": ORACLE_DECODE_DEBEZIUM,
+    "decode_canal_batch": ORACLE_DECODE_CANAL,
+    "decode_connector_mongo": ORACLE_DECODE_MONGO,
+    "cdc_lww_columnwise": ORACLE_LWW_COLUMNWISE,
+    "cdc_change_rate": ORACLE_CHANGE_RATE,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "pricing_summary": ORACLE_PRICING,
     "revenue_by_nation": ORACLE_REVENUE_NATION,
