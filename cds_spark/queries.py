@@ -55,7 +55,9 @@ def _changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cdc_lww_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ReplacingMergeTree FINAL + tombstone filter — the ``{t}_now`` view
     (pkg/table/table.go:143-147): one live row per PK, max version wins."""
-    ch = _changes(spark, sf_dir)
+    # project BEFORE the collapse: max_by structs every non-key column, so
+    # an un-pruned frame would drag the wide props JSON through the shuffle
+    ch = _changes(spark, sf_dir).select("user_id", "event_id", "ts", "op", "value")
     last = lww_collapse(ch, ["user_id"], ["ts", "event_id"])
     return (
         last.filter(F.col("op") != "d")
@@ -83,7 +85,7 @@ FROM (
 def q_cdc_lww_tombstone_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``{t}_mv`` analog: collapsed state INCLUDING tombstones with the
     ck_is_delete flag (pkg/table/table.go:52)."""
-    ch = _changes(spark, sf_dir)
+    ch = _changes(spark, sf_dir).select("user_id", "event_id", "ts", "op")
     last = lww_collapse(ch, ["user_id"], ["ts", "event_id"])
     return last.select(
         "user_id",
@@ -123,7 +125,11 @@ ASOF = "2024-01-15 00:00:00"
 def q_cdc_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Historical state reconstruction: argMax(col, version) bounded by date
     (doc/CDS中ClickHouse使用的建表方案.md:97-120) — state as-of ASOF."""
-    ch = _changes(spark, sf_dir).filter(F.col("ts") < F.lit(ASOF).cast("timestamp"))
+    ch = (
+        _changes(spark, sf_dir)
+        .filter(F.col("ts") < F.lit(ASOF).cast("timestamp"))
+        .select("user_id", "event_id", "ts", "op", "value")
+    )
     last = lww_collapse(ch, ["user_id"], ["ts", "event_id"])
     return last.filter(F.col("op") != "d").select(
         "user_id",
@@ -182,7 +188,9 @@ def q_cdc_pk_semi_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cmd/rtu/handle/tablecolumn.go:103-112). Broadcast semi join."""
     ch = _changes(spark, sf_dir)
     keys = spark.createDataFrame([(k,) for k in _LOOKUP_KEYS], "user_id long")
-    hits = ch.join(F.broadcast(keys), "user_id", "left_semi")
+    hits = ch.join(F.broadcast(keys), "user_id", "left_semi").select(
+        "user_id", "event_id", "ts", "op"
+    )
     last = lww_collapse(hits, ["user_id"], ["ts", "event_id"])
     return last.select("user_id", F.col("event_id").alias("last_event_id"), "op")
 
@@ -199,7 +207,7 @@ FROM (
 def q_cdc_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyset-ordered pagination (mysql2clickhouse.go:69-90 `WHERE pk>?
     ORDER BY pk LIMIT n`): page of the collapsed state after user_id 50."""
-    ch = _changes(spark, sf_dir)
+    ch = _changes(spark, sf_dir).select("user_id", "event_id", "ts")
     last = lww_collapse(ch, ["user_id"], ["ts", "event_id"])
     return (
         last.filter(F.col("user_id") > 50)
