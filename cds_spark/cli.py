@@ -1,0 +1,224 @@
+"""Control-plane CLI — the galaxy service re-expressed as a thin driver.
+
+The reference runs a REST control plane (cmd/galaxy/internal/handler/
+routes.go:11-131) that (a) generates target DDL from a source schema
+(`generate-create-sql` -> the 6-table ClickHouse family), (b) executes it
+across the cluster (`exec-sql`), and (c) registers dm/rtu jobs in etcd for
+the sync daemons to pick up. On Spark none of that needs a server: table
+DDL is a metadata commit, jobs are driver invocations, and status lives in
+the lake manifest + lineage sidecar. One subcommand per galaxy concern:
+
+    create-table   generate-create-sql + exec-sql (pkg/mysqlx/clickhouse.go:12-76)
+    bootstrap      dm full sync        (cmd/dm/cmd/sync/dm.go:33-106)
+    sync           rtu incremental sync (cmd/rtu/cmd/sync/rtu.go:39-70)
+    status         job/etcd status      (cmd/rtu/handle/rtujob.go:207-232)
+    history        snapshot log / time travel
+    compact        background-merge analog (ReplacingMergeTree merges)
+
+Usage: python -m cds_spark.cli <subcommand> --help
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from pyspark.sql import types as T
+
+_TYPES = {
+    "string": T.StringType(),
+    "long": T.LongType(),
+    "int": T.IntegerType(),
+    "integer": T.IntegerType(),
+    "double": T.DoubleType(),
+    "float": T.FloatType(),
+    "boolean": T.BooleanType(),
+    "timestamp": T.TimestampType(),
+    "date": T.DateType(),
+    "binary": T.BinaryType(),
+}
+
+
+def parse_schema(spec: str) -> T.StructType:
+    """``name:type,name:type`` -> StructType (the mysqlx/mongodbx
+    introspection analog — here the user states the source schema)."""
+    fields = []
+    for part in spec.split(","):
+        name, _, tn = part.strip().partition(":")
+        if not name or tn.lower() not in _TYPES:
+            raise SystemExit(f"bad schema field {part!r}; types: {sorted(_TYPES)}")
+        fields.append(T.StructField(name, _TYPES[tn.lower()], True))
+    return T.StructType(fields)
+
+
+def _spark(args):
+    from cds_spark.session import get_spark
+
+    spark = get_spark("cds-cli", cores=getattr(args, "cores", None))
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def cmd_create_table(args) -> int:
+    from cds_spark.lake.table import LakeTable
+
+    schema = parse_schema(args.schema)
+    table = LakeTable.create(
+        _spark(args),
+        args.root,
+        schema,
+        pk=args.pk.split(","),
+        version_cols=args.version_cols.split(","),
+        n_buckets=args.buckets,
+        properties={"merge_mode": args.merge_mode},
+    )
+    print(json.dumps({"root": table.root, "version": table.version,
+                      "schema": [f.name for f in schema.fields]}))
+    return 0
+
+
+def cmd_bootstrap(args) -> int:
+    from cds_spark.streaming.pipeline import bootstrap
+
+    spark = _spark(args)
+    src = spark.read.parquet(args.source)
+    table = bootstrap(
+        spark, src, args.root,
+        pk=args.pk.split(","),
+        version_cols=args.version_cols.split(","),
+        n_buckets=args.buckets,
+    )
+    print(json.dumps({"root": table.root, "version": table.version,
+                      "rows": table.current().count()}))
+    return 0
+
+
+def cmd_sync(args) -> int:
+    from cds_spark.streaming.pipeline import IncrementalSync, JobSpec
+
+    spec = JobSpec(
+        job_id=args.job_id,
+        table_root=args.root,
+        source_dir=args.source_dir,
+        checkpoint_dir=args.checkpoint,
+        max_files_per_trigger=args.max_files_per_trigger,
+        dlq_dir=args.dlq_dir,
+        merge_mode=args.merge_mode,
+    )
+    job = IncrementalSync(_spark(args), spec)
+    if args.once:
+        job.run_available()
+    else:
+        q = job.start(processing_time=args.trigger)
+        q.awaitTermination()
+    print(json.dumps({"job_id": args.job_id, "done": True}))
+    return 0
+
+
+def cmd_status(args) -> int:
+    from cds_spark.lake.table import LakeTable
+
+    table = LakeTable.load(_spark(args), args.root)
+    out = {
+        "root": table.root,
+        "version": table.version,
+        "schema_id": table.manifest["schema_id"],
+        "n_buckets": table.n_buckets,
+        "n_files": len(table.manifest["files"]),
+        "summary": table.manifest.get("summary", {}),
+        "fences": {k: v for k, v in table.properties.items() if k.startswith("fence.")},
+    }
+    lineage_dir = os.path.join(args.root, "_lineage")
+    if os.path.isdir(lineage_dir):
+        tails = {}
+        for fn in sorted(os.listdir(lineage_dir)):
+            with open(os.path.join(lineage_dir, fn)) as f:
+                lines = f.readlines()
+            if lines:
+                tails[fn.rsplit(".", 1)[0]] = json.loads(lines[-1])
+        out["jobs"] = tails
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+def cmd_history(args) -> int:
+    from cds_spark.lake.table import LakeTable
+
+    table = LakeTable.load(_spark(args), args.root)
+    print(json.dumps(table.history(), indent=2))
+    return 0
+
+
+def cmd_compact(args) -> int:
+    from cds_spark.lake.table import LakeTable
+
+    table = LakeTable.load(_spark(args), args.root)
+    table.compact(purge_tombstones=args.purge_tombstones)
+    print(json.dumps({"root": table.root, "version": table.version}))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="cds-spark", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, table=True):
+        if table:
+            sp.add_argument("--root", required=True, help="lake table root dir")
+        sp.add_argument("--cores", type=int, default=None)
+
+    sp = sub.add_parser("create-table", help="create an empty lake table")
+    common(sp)
+    sp.add_argument("--schema", required=True, help="name:type,name:type,...")
+    sp.add_argument("--pk", required=True, help="comma-separated PK columns")
+    sp.add_argument("--version-cols", required=True,
+                    help="comma-separated LWW version columns (may include _offset)")
+    sp.add_argument("--buckets", type=int, default=64)
+    sp.add_argument("--merge-mode", choices=["append", "upsert"], default="append")
+    sp.set_defaults(fn=cmd_create_table)
+
+    sp = sub.add_parser("bootstrap", help="full sync: snapshot parquet -> table")
+    common(sp)
+    sp.add_argument("--source", required=True, help="source parquet path")
+    sp.add_argument("--pk", required=True)
+    sp.add_argument("--version-cols", required=True)
+    sp.add_argument("--buckets", type=int, default=64)
+    sp.set_defaults(fn=cmd_bootstrap)
+
+    sp = sub.add_parser("sync", help="incremental sync from a change-feed dir")
+    common(sp)
+    sp.add_argument("--job-id", required=True)
+    sp.add_argument("--source-dir", required=True)
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--once", action="store_true",
+                    help="process available input then exit (Trigger.AvailableNow)")
+    sp.add_argument("--trigger", default="2 seconds")
+    sp.add_argument("--max-files-per-trigger", type=int, default=8)
+    sp.add_argument("--dlq-dir", default=None)
+    sp.add_argument("--merge-mode", choices=["append", "upsert"], default=None)
+    sp.set_defaults(fn=cmd_sync)
+
+    sp = sub.add_parser("status", help="table + job status (lineage tail)")
+    common(sp)
+    sp.set_defaults(fn=cmd_status)
+
+    sp = sub.add_parser("history", help="snapshot history (time travel)")
+    common(sp)
+    sp.set_defaults(fn=cmd_history)
+
+    sp = sub.add_parser("compact", help="rewrite buckets; optionally purge tombstones")
+    common(sp)
+    sp.add_argument("--purge-tombstones", action="store_true")
+    sp.set_defaults(fn=cmd_compact)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,53 @@
+"""Control-plane CLI: create-table -> sync --once -> status/history/compact
+mirrors the galaxy create-DDL + job-registration flow (SURVEY.md §3.3)."""
+
+import json
+
+from cds_spark.cli import main, parse_schema
+from cds_spark.lake.table import LakeTable
+from cds_spark.sources.feed import change_feed, write_feed_files
+
+
+def test_parse_schema():
+    s = parse_schema("repo:string, n:long, v:double")
+    assert [f.name for f in s.fields] == ["repo", "n", "v"]
+    assert [f.dataType.typeName() for f in s.fields] == ["string", "long", "double"]
+
+
+def _run(capsys, argv):
+    rc = main(argv)
+    out = capsys.readouterr().out.strip()
+    assert rc == 0, out
+    return out
+
+
+def test_cli_end_to_end(spark, tmp_path, capsys):
+    root = str(tmp_path / "repos")
+    topic = str(tmp_path / "topic")
+    ckpt = str(tmp_path / "ckpt")
+
+    created = json.loads(_run(capsys, [
+        "create-table", "--root", root,
+        "--schema", "repo:string,path:string,commit:string,lang:string,content:string",
+        "--pk", "repo,path", "--version-cols", "commit,_offset", "--buckets", "8",
+    ]))
+    assert created["version"] == 1
+
+    feed = change_feed(spark, 500, n_repos=5, paths_per_repo=10, seed=3)
+    write_feed_files(feed, topic, 2)
+
+    _run(capsys, ["sync", "--root", root, "--job-id", "cli-job",
+                  "--source-dir", topic, "--checkpoint", ckpt, "--once"])
+
+    status = json.loads(_run(capsys, ["status", "--root", root]))
+    assert status["version"] > 1
+    assert "cli-job" in status["jobs"]
+    assert any(k.startswith("fence.cli-job") for k in status["fences"])
+
+    hist = json.loads(_run(capsys, ["history", "--root", root]))
+    assert hist[0]["summary"]["operation"] == "create"
+
+    _run(capsys, ["compact", "--root", root, "--purge-tombstones"])
+    table = LakeTable.load(spark, root)
+    assert table.manifest["summary"]["operation"] == "compact"
+    assert table.current().count() > 0
