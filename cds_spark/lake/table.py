@@ -200,6 +200,13 @@ class LakeTable:
                 )
         return out
 
+    def _txn_name(self, suffix: str = "") -> str:
+        """Unique txn dir per write attempt: two racing writers must never
+        share a data dir (the loser's files stay unreachable — only the
+        manifest CAS decides who wins; a name derived from the stale version
+        alone would collide at write time with a PATH_ALREADY_EXISTS)."""
+        return f"txn-{self.version + 1:08d}{suffix}-{uuid.uuid4().hex[:8]}"
+
     # ----------------------------------------------------------- commits
     def _next_manifest(self, summary: dict) -> dict:
         m = json.loads(json.dumps(self.manifest))  # deep copy
@@ -373,7 +380,7 @@ class LakeTable:
             return MergeStats(skipped=True, version=self.version)
         src = self._with_meta_defaults(df).withColumn("_bucket", self._bucket_expr())
         shuffle_n = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        entries = self._write_txn(src, f"txn-{self.version + 1:08d}", shuffle_n)
+        entries = self._write_txn(src, self._txn_name(), shuffle_n)
         m = self._next_manifest({"operation": "overwrite"})
         m["files"] = entries
         if fence:
@@ -449,7 +456,7 @@ class LakeTable:
         if mode == "append":
             # one pass: collapse + bucket + write; bucket stats read back
             # from the written files (no extra job over the source)
-            entries = self._write_txn(src, f"txn-{self.version + 1:08d}", self._n_write_parts())
+            entries = self._write_txn(src, self._txn_name(), self._n_write_parts())
             touched = sorted({e["bucket"] for e in entries})
             m = self._next_manifest(
                 {"operation": "append-merge", "touched_buckets": len(touched)}
@@ -482,7 +489,7 @@ class LakeTable:
                 target.unionByName(src), self.pk, self.version_cols
             )
             n_parts = max(1, min(len(touched), self._n_write_parts()))
-            entries = self._write_txn(merged, f"txn-{self.version + 1:08d}", n_parts)
+            entries = self._write_txn(merged, self._txn_name(), n_parts)
             m = self._next_manifest(
                 {
                     "operation": "merge",
@@ -519,7 +526,7 @@ class LakeTable:
         df = self.read(live_only=False, with_meta=True).withColumn("_bucket", self._bucket_expr())
         if purge_tombstones:
             df = df.filter(~F.col(IS_DELETE))
-        entries = self._write_txn(df, f"txn-{self.version + 1:08d}-compact", self._n_write_parts())
+        entries = self._write_txn(df, self._txn_name("-compact"), self._n_write_parts())
         m = self._next_manifest({"operation": "compact", "purged": purge_tombstones})
         m["files"] = entries
         m["properties"]["needs_collapse"] = False  # one generation per bucket again

@@ -1,0 +1,116 @@
+"""Streaming metrics (watermark + tumbling window) and lake-format
+robustness: partial-write invisibility and single-writer CAS."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cds_spark.lake.table import LakeTable
+from cds_spark.sources.feed import REPO_SCHEMA, change_feed
+from cds_spark.operators.decode import decode_feed, events_to_rows
+from cds_spark.streaming.metrics import EVENTS_SCHEMA, change_rate_stream
+
+
+def test_change_rate_stream_emits_finalized_windows(spark, tmp_path):
+    src_dir = str(tmp_path / "events_stream")
+    out_dir = str(tmp_path / "metrics_out")
+    ckpt = str(tmp_path / "ckpt")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # slice by time into sequential files so the watermark advances between
+    # micro-batches (maxFilesPerTrigger=1)
+    os.makedirs(src_dir, exist_ok=True)
+    days = [r[0] for r in events.select(F.date_trunc("day", "ts").alias("d")).distinct()
+            .orderBy("d").collect()]
+    for i, d in enumerate(days[:6]):
+        (events.filter(F.date_trunc("day", "ts") == d)
+         .coalesce(1).write.parquet(os.path.join(src_dir, f"slice-{i:03d}")))
+    paths = [os.path.join(src_dir, p) for p in sorted(os.listdir(src_dir))]
+    # flatten: file-stream source wants files, not dirs of dirs
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    n = 0
+    for p in paths:
+        for f in sorted(os.listdir(p)):
+            if f.endswith(".parquet"):
+                os.link(os.path.join(p, f), os.path.join(flat, f"{n:03d}.parquet"))
+                n += 1
+    q = change_rate_stream(spark, flat, ckpt, out_dir, window="6 hours",
+                           watermark="1 hour")
+    q.awaitTermination()
+    got = spark.read.schema(
+        T.StructType([
+            T.StructField("window_start", T.TimestampType()),
+            T.StructField("window_end", T.TimestampType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("approx_users", T.LongType()),
+        ])
+    ).parquet(out_dir)
+    emitted = {(r["window_start"], r["op"]): r["n_events"] for r in got.collect()}
+    assert emitted, "watermark never finalized any window"
+    # every emitted window must exactly match the batch computation
+    sliced = spark.read.parquet(flat)
+    batch = (
+        sliced.withColumn(
+            "op",
+            F.when(F.col("event_type") == "signup", "c")
+            .when(F.col("event_type") == "error", "d").otherwise("u"),
+        )
+        .groupBy(F.window("ts", "6 hours").alias("w"), "op")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("s"), "op", "n")
+    )
+    truth = {(r["s"], r["op"]): r["n"] for r in batch.collect()}
+    for k, v in emitted.items():
+        assert truth[k] == v, k
+    # no duplicate window emissions (append-mode exactly-once)
+    assert got.count() == got.dropDuplicates(["window_start", "op"]).count()
+
+
+def _mk_table(spark, root, n=300):
+    t = LakeTable.create(spark, root, REPO_SCHEMA, pk=["repo", "path"],
+                         version_cols=["commit", "_offset"], n_buckets=8)
+    feed = change_feed(spark, n, n_repos=4, paths_per_repo=8, seed=7)
+    rows, _ = events_to_rows(decode_feed(feed, inject={"commit": "commit"}),
+                             t.schema, t.pk)
+    t.merge(rows, fence=("j", 0))
+    return t
+
+
+def test_partial_txn_dir_is_invisible(spark, tmp_path):
+    """A crashed writer leaves orphan files; readers only trust the
+    manifest, so state is unchanged and later merges still work."""
+    root = str(tmp_path / "t")
+    t = _mk_table(spark, root)
+    before = t.current().count()
+    orphan = os.path.join(root, "data", "txn-99999999", "_bucket=0")
+    os.makedirs(orphan)
+    # a syntactically valid parquet file that is NOT in the manifest
+    spark.createDataFrame([("x/y", "p", "c", "py", "junk", False, 1)],
+                          schema=t.schema.add("_is_delete", "boolean").add("_offset", "long")) \
+        .coalesce(1).write.mode("overwrite").parquet(orphan)
+    t2 = LakeTable.load(spark, root)
+    assert t2.current().count() == before
+    feed = change_feed(spark, 100, n_repos=4, paths_per_repo=8, seed=8,
+                       start_offset=1000)
+    rows, _ = events_to_rows(decode_feed(feed, inject={"commit": "commit"}),
+                             t2.schema, t2.pk)
+    stats = t2.merge(rows, fence=("j", 1))
+    assert not stats.skipped
+
+
+def test_concurrent_commit_cas_rejected(spark, tmp_path):
+    """Single-writer optimistic concurrency: the second writer loses."""
+    root = str(tmp_path / "t")
+    _mk_table(spark, root)
+    a = LakeTable.load(spark, root)
+    b = LakeTable.load(spark, root)
+    feed = change_feed(spark, 50, n_repos=4, paths_per_repo=8, seed=9,
+                       start_offset=2000)
+    rows, _ = events_to_rows(decode_feed(feed, inject={"commit": "commit"}),
+                             a.schema, a.pk)
+    a.merge(rows, fence=("wa", 0))
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        b.merge(rows, fence=("wb", 0))
