@@ -142,3 +142,21 @@ def test_columnwise_lww_partial_updates(spark):
     out = lww_collapse_columnwise(df, ["pk"], ["commit", "_offset"]).collect()[0]
     assert out.col1 == "c" and out.col2 == "y"
     assert out.commit == "000003"
+
+
+def test_arrow_decode_matches_jvm_decode(spark):
+    from cds_spark.operators.decode import decode_feed, decode_feed_arrow
+    from cds_spark.sources.feed import change_feed
+
+    feed = change_feed(spark, 400, n_repos=6, paths_per_repo=9, seed=21)
+    jvm = decode_feed(feed, inject={"commit": "commit"}).collect()
+    arrow = decode_feed_arrow(feed, inject={"commit": "commit"}).collect()
+
+    def canon(rows):
+        return sorted(
+            (r["op"], tuple(sorted((r["data"] or {}).items())),
+             tuple(sorted(r["exists"] or [])), r["_partition"], r["_offset"])
+            for r in rows
+        )
+
+    assert canon(jvm) == canon(arrow)
