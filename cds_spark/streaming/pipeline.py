@@ -54,6 +54,16 @@ class JobSpec:
     #: None -> table default; "append" = merge-on-read fast ingest,
     #: "upsert" = copy-on-write (see LakeTable.merge)
     merge_mode: str | None = None
+    #: "file" (default; source_dir is a directory of feed JSON files) or
+    #: "kafka" (source_dir is ignored; kafka_* fields below apply).
+    #: Kafka is the reference's primary source (pkg/tube/kfks.go:37-95);
+    #: it requires the spark-sql-kafka connector jar on the classpath
+    #: (spark-submit --packages org.apache.spark:spark-sql-kafka-0-10_2.13)
+    source_format: str = "file"
+    kafka_bootstrap_servers: str | None = None
+    kafka_topic: str | None = None
+    #: maxOffsetsPerTrigger — the 30k-msgs micro-batch analog (input.go:74)
+    kafka_max_offsets_per_trigger: int = 30000
 
 
 def discover_and_evolve(table: LakeTable, batch: DataFrame, payload_col: str = "payload") -> list[str]:
@@ -158,14 +168,52 @@ class IncrementalSync:
             f.write(json.dumps(rec) + "\n")
 
     # -- streaming driver ---------------------------------------------------
-    def start(self, trigger_once: bool = False, processing_time: str = "2 seconds"):
-        """Start the stream (file source stands in for the Kafka topic;
-        maxFilesPerTrigger plays maxOffsetsPerTrigger)."""
-        reader = (
+    def _reader(self):
+        """Build the source DataFrame in the normalized feed envelope.
+
+        file: a directory of feed-JSON files stands in for the topic
+        (maxFilesPerTrigger plays maxOffsetsPerTrigger).
+        kafka: value carries the same envelope JSON; Kafka's own
+        partition/offset replace the envelope's (the real lineage columns,
+        pkg/tube/kfks.go:97-181)."""
+        if self.spec.source_format == "kafka":
+            if not (self.spec.kafka_bootstrap_servers and self.spec.kafka_topic):
+                raise ValueError("kafka source requires kafka_bootstrap_servers + kafka_topic")
+            try:
+                raw = (
+                    self.spark.readStream.format("kafka")
+                    .option("kafka.bootstrap.servers", self.spec.kafka_bootstrap_servers)
+                    .option("subscribe", self.spec.kafka_topic)
+                    .option("maxOffsetsPerTrigger", self.spec.kafka_max_offsets_per_trigger)
+                    .load()
+                )
+            except Exception as e:  # connector jar absent in this sandbox
+                raise RuntimeError(
+                    "kafka source unavailable — launch with the connector jar: "
+                    "spark-submit --packages "
+                    "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>"
+                ) from e
+            parsed = raw.withColumn(
+                "env", F.from_json(F.col("value").cast("string"), FEED_SCHEMA)
+            )
+            return parsed.select(
+                F.col("env.op").alias("op"),
+                F.col("env.repo").alias("repo"),
+                F.col("env.path").alias("path"),
+                F.col("env.commit").alias("commit"),
+                F.col("offset").alias("offset"),
+                F.col("env.payload").alias("payload"),
+                F.col("partition").cast("int").alias("partition"),
+            )
+        return (
             self.spark.readStream.schema(FEED_SCHEMA)
             .option("maxFilesPerTrigger", self.spec.max_files_per_trigger)
             .json(self.spec.source_dir)
         )
+
+    def start(self, trigger_once: bool = False, processing_time: str = "2 seconds"):
+        """Start the stream."""
+        reader = self._reader()
         writer = reader.writeStream.option("checkpointLocation", self.spec.checkpoint_dir)
         if trigger_once:
             writer = writer.trigger(availableNow=True)

@@ -159,3 +159,32 @@ def test_time_travel_and_history(spark, tmp_path):
     assert v2.current().count() <= v3.read(live_only=False).count()
     ops = [h["summary"].get("operation") for h in table.history()]
     assert ops == ["create", "merge", "merge"]
+
+
+def test_kafka_source_config_surface(spark, tmp_path):
+    """Kafka source: config validation + a clear error when the connector
+    jar is absent (this sandbox). The file source remains the tested path;
+    the kafka branch maps Kafka partition/offset into the envelope."""
+    import pytest
+
+    from cds_spark.lake.table import LakeTable
+    from cds_spark.sources.feed import REPO_SCHEMA
+    from cds_spark.streaming.pipeline import IncrementalSync, JobSpec
+
+    root = str(tmp_path / "t")
+    LakeTable.create(spark, root, REPO_SCHEMA, pk=["repo", "path"],
+                     version_cols=["commit", "_offset"], n_buckets=4)
+    spec = JobSpec(job_id="k", table_root=root, source_dir="",
+                   checkpoint_dir=str(tmp_path / "ck"), source_format="kafka")
+    with pytest.raises(ValueError, match="kafka_bootstrap_servers"):
+        IncrementalSync(spark, spec)._reader()
+    spec.kafka_bootstrap_servers = "localhost:9092"
+    spec.kafka_topic = "repos"
+    with pytest.raises((RuntimeError, Exception)):
+        # no connector jar in the sandbox: either our helpful RuntimeError
+        # or Spark's DATA_SOURCE_NOT_FOUND — both must mention kafka
+        try:
+            IncrementalSync(spark, spec)._reader()
+        except Exception as e:
+            assert "kafka" in str(e).lower() or "KAFKA" in str(e)
+            raise
