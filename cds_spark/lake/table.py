@@ -342,13 +342,20 @@ class LakeTable:
 
         The shuffle key is (bucket, salt): hashing bare bucket ids into
         n_partitions leaves ~1/e of partitions empty and piles 2-3 buckets
-        on others (balls-into-bins), capping parallelism. Salting by PK hash
-        spreads each bucket over a few tasks — a bucket then spans several
-        files, which the manifest tracks anyway. salt_n targets ~4 shuffle
-        keys per write partition."""
+        on others (balls-into-bins), capping parallelism. The salt hashes
+        the ROW (offset + pk), not the pk alone: a single hot key — one row
+        updated in 50% of events, the classic CDC skew case — would
+        otherwise land its entire volume in ONE shuffle partition. Row-salt
+        spreads it across salt_n partitions; the same key then spans
+        several files within its bucket, which merge-on-read LWW (and
+        compact) absorb by design. salt_n targets ~4 shuffle keys per write
+        partition, so file count stays bounded."""
         n_partitions = max(1, n_partitions)
         salt_n = max(1, (4 * n_partitions + self.n_buckets - 1) // self.n_buckets)
-        salt = F.pmod(F.xxhash64(F.lit(1), *[F.col(c) for c in self.pk]), F.lit(salt_n))
+        salt = F.pmod(
+            F.xxhash64(F.lit(1), F.col(OFFSET), *[F.col(c) for c in self.pk]),
+            F.lit(salt_n),
+        )
         txn_rel = os.path.join(DATA_DIR, txn_name)
         txn_dir = os.path.join(self.root, txn_rel)
         (

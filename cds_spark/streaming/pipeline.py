@@ -244,7 +244,16 @@ def bootstrap(
     (cmd/dm/data/mysql2clickhouse.go:31-119), Spark parallelizes the scan;
     incremental overlap after bootstrap converges by the same LWW rule
     (doc/CDS中ClickHouse使用的建表方案.md:87)."""
-    schema = source.schema
+    import pyspark.sql.types as T
+
+    from cds_spark.lake.table import IS_DELETE, OFFSET
+
+    # a snapshot may legitimately carry the meta columns (e.g. exported from
+    # another lake table); the LOGICAL schema must exclude them or the
+    # physical layout would duplicate _is_delete/_offset
+    schema = T.StructType(
+        [f for f in source.schema.fields if f.name not in (IS_DELETE, OFFSET)]
+    )
     if LakeTable.exists(table_root):
         table = LakeTable.load(spark, table_root)
     else:

@@ -114,3 +114,78 @@ def test_concurrent_commit_cas_rejected(spark, tmp_path):
     a.merge(rows, fence=("wa", 0))
     with pytest.raises(RuntimeError, match="concurrent commit"):
         b.merge(rows, fence=("wb", 0))
+
+
+def test_hot_key_rows_spread_across_salted_files(spark, tmp_path):
+    """One PK receiving most of the traffic must not serialize the write:
+    the row-salt spreads its rows across multiple files in its bucket
+    (merge-on-read collapses them at read time)."""
+    root = str(tmp_path / "hot")
+    t = LakeTable.create(spark, root, REPO_SCHEMA, pk=["repo", "path"],
+                         version_cols=["commit", "_offset"], n_buckets=4,
+                         properties={"merge_mode": "append"})
+    # 2000 events, ~all on a single (repo, path)
+    hot = spark.range(2000).select(
+        F.lit("u").alias("op"),
+        F.lit("org/hot").alias("repo"),
+        F.lit("src/file.txt").alias("path"),
+        F.lpad(F.col("id").cast("string"), 12, "0").alias("commit"),
+        F.lit("py").alias("lang"),
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("content"),
+        F.lit(False).alias("_is_delete"),
+        F.col("id").alias("_offset"),
+        F.lit(0).alias("_partition"),
+        F.lit("u").alias("_op"),
+    )
+    t.merge(hot, fence=("hot", 0))
+    t2 = LakeTable.load(spark, root)
+    hot_bucket_files = {}
+    for f in t2.manifest["files"]:
+        hot_bucket_files.setdefault(f["bucket"], []).append(f["path"])
+    # all rows share one pk -> one bucket; the salt must have split it
+    assert len(hot_bucket_files) == 1
+    (files,) = hot_bucket_files.values()
+    assert len(files) > 1, "hot key was written by a single task"
+    # and the read still collapses to exactly one live row, newest version
+    rows = t2.current().collect()
+    assert len(rows) == 1
+    assert rows[0]["content"] == "v1999"
+
+
+def test_bootstrap_then_incremental_overlap_converges(spark, tmp_path):
+    """dm bootstrap + rtu incremental with overlapping versions converge by
+    the same LWW rule (doc/CDS中ClickHouse使用的建表方案.md:87): replayed
+    OLDER versions cannot regress rows the snapshot already covers."""
+    from cds_spark.sources.feed import reference_replay_pandas
+    from cds_spark.streaming.pipeline import bootstrap
+
+    feed = change_feed(spark, 600, n_repos=5, paths_per_repo=10, seed=13).persist()
+    oracle = reference_replay_pandas([r.asDict() for r in feed.collect()])
+
+    # snapshot = the oracle state after the first 400 events
+    first = feed.filter(F.col("offset") < 400)
+    snap_state = reference_replay_pandas([r.asDict() for r in first.collect()])
+    snap_rows = [
+        (k[0], k[1], v["commit"], v["lang"], v["content"], False, int(v["_ver"][1]))
+        for k, v in snap_state.items()
+    ]
+    phys = T.StructType(
+        list(REPO_SCHEMA.fields)
+        + [T.StructField("_is_delete", T.BooleanType()),
+           T.StructField("_offset", T.LongType())]
+    )
+    snap = spark.createDataFrame(snap_rows, phys)
+    root = str(tmp_path / "t")
+    table = bootstrap(spark, snap, root, pk=["repo", "path"],
+                      version_cols=["commit", "_offset"], n_buckets=8)
+
+    # incremental replays an OVERLAPPING window (from offset 300 — 100 events
+    # older than the snapshot bound) plus the new tail
+    overlap = feed.filter(F.col("offset") >= 300)
+    rows, _ = events_to_rows(decode_feed(overlap, inject={"commit": "commit"}),
+                             table.schema, table.pk)
+    table.merge(rows, fence=("inc", 0))
+
+    got = {(r["repo"], r["path"]): r["content"] for r in table.current().collect()}
+    want = {k: v["content"] for k, v in oracle.items()}
+    assert got == want
