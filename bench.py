@@ -106,14 +106,20 @@ def cdc_replay(
         version_cols=["commit", "_offset"], n_buckets=n_buckets,
         properties={"merge_mode": mode},
     )
+    batch_secs = []
     t0 = time.time()
     for i, p in enumerate(feed_paths):
+        tb = time.time()
         feed = spark.read.schema(FEED_SCHEMA).parquet(p)
         events = decode_feed(feed, inject={"commit": "commit"})
         rows, _dlq = events_to_rows(events, table.schema, table.pk)
         table.merge(rows, fence=("bench", i))
+        batch_secs.append(round(time.time() - tb, 2))
+    compact_sec = 0.0
     if mode == "append" and compact:
+        tc = time.time()
         table.compact(purge_tombstones=True)
+        compact_sec = round(time.time() - tc, 2)
     dt = time.time() - t0
     live = table.current().count()
     return {
@@ -121,6 +127,8 @@ def cdc_replay(
         "n_events": n_events,
         "n_batches": len(feed_paths),
         "sec": round(dt, 2),
+        "batch_secs": batch_secs,
+        "compact_sec": compact_sec,
         "events_per_sec": round(n_events / dt),
         "live_rows": live,
     }
@@ -130,7 +138,7 @@ def main() -> None:
     from cds_spark.queries import QUERIES
     from cds_spark.session import get_spark
 
-    spark = get_spark("cds-bench", cores=CPUS, shuffle_partitions=CPUS * 2)
+    spark = get_spark("cds-bench", cores=CPUS, shuffle_partitions=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}

@@ -44,7 +44,9 @@ _DEFAULTS = {
     # cluster sizes per-executor memory (4-8g typical) — same envelope.
     "spark.driver.memory": os.environ.get("CDS_SPARK_DRIVER_MEM", "12g"),
     # skip the client-side .crc shadow files: halves file ops (and their
-    # fork+exec cost) for local writes; durability is the lake manifest's job
+    # fork+exec cost) for local writes; durability is the lake manifest's job.
+    # Overridden to FastLocalFileSystem (no-op chmod/chown) below when the
+    # compiled class is present.
     "spark.hadoop.fs.file.impl": "org.apache.hadoop.fs.RawLocalFileSystem",
     # commit algorithm v2: task output moved straight to the job dir (one
     # rename per file, no second job-commit rename pass)
@@ -76,6 +78,13 @@ def get_spark(
     )
     conf = dict(_DEFAULTS)
     conf["spark.sql.shuffle.partitions"] = str(n_shuffle)
+    # FastLocalFileSystem (cds_spark/jvm): RawLocalFileSystem with chmod/chown
+    # shell-outs no-opped — each one is a fork whose cost scales with JVM RSS
+    # in this sandbox (~3.5s of fixed cost per micro-batch measured without it)
+    jvm_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "jvm")
+    if os.path.exists(os.path.join(jvm_dir, "FastLocalFileSystem.class")):
+        conf["spark.driver.extraClassPath"] = jvm_dir
+        conf["spark.hadoop.fs.file.impl"] = "FastLocalFileSystem"
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
