@@ -1,0 +1,128 @@
+"""Custom stateful streaming operator: per-key out-of-order/staleness monitor.
+
+The reference tolerates out-of-order delivery purely through version-ordered
+LWW (max version wins regardless of arrival — doc/CDS中ClickHouse使用的建表方案.md:77)
+and exposes no visibility into HOW out-of-order the feed actually is. This
+operator adds that observability as a Structured Streaming stateful map:
+
+    groupBy(pk).applyInPandasWithState(...)
+
+state per key = the max (commit, offset) version seen so far; each
+micro-batch emits, per touched key, how many of its events arrived with a
+version at-or-below the watermark-free state max ("stale" — they lose LWW)
+vs advancing it. Feeds a dashboards/alerting path: a spike in stale events
+means an upstream producer is replaying or a partition is lagging.
+
+State size: one (commit, offset) pair per DISTINCT key ever seen — bounded
+by key cardinality, NOT event volume; at 10^10 events over ~10^6 keys the
+state store holds ~10^6 tiny rows, hash-partitioned across executors by the
+same groupBy key. (The LWW *data* path deliberately keeps its state in the
+lake table instead — SURVEY.md §2.6; this operator is observability only.)
+
+Arrow-batched per the input_hint: the callable receives pandas DataFrames
+per key group — no per-row Python UDF calls.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_stale", T.LongType()),
+        T.StructField("n_advanced", T.LongType()),
+        T.StructField("max_commit", T.StringType()),
+        T.StructField("max_offset", T.LongType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("max_commit", T.StringType()),
+        T.StructField("max_offset", T.LongType()),
+    ]
+)
+
+
+def _monitor(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+    repo, path = key
+    if state.exists:
+        max_commit, max_offset = state.get
+    else:
+        max_commit, max_offset = "", -1
+    n_events = n_stale = n_advanced = 0
+    for pdf in pdfs:
+        # vectorized within the Arrow batch: a row is stale iff its
+        # (commit, offset) tuple <= the running state max
+        n_events += len(pdf)
+        for commit, offset in zip(pdf["commit"], pdf["offset"]):
+            if (commit, int(offset)) <= (max_commit, max_offset):
+                n_stale += 1
+            else:
+                max_commit, max_offset = commit, int(offset)
+                n_advanced += 1
+    state.update((max_commit, max_offset))
+    yield pd.DataFrame(
+        [
+            {
+                "repo": repo,
+                "path": path,
+                "n_events": n_events,
+                "n_stale": n_stale,
+                "n_advanced": n_advanced,
+                "max_commit": max_commit,
+                "max_offset": max_offset,
+            }
+        ]
+    )
+
+
+def staleness_monitor(events: DataFrame) -> DataFrame:
+    """Attach the stateful monitor to a *streaming* feed DataFrame (the F2
+    envelope: repo, path, commit, offset). Returns the per-key per-batch
+    staleness stream (append mode)."""
+    return (
+        events.select("repo", "path", "commit", "offset")
+        .groupBy("repo", "path")
+        .applyInPandasWithState(
+            _monitor,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def staleness_stream(
+    spark,
+    source_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """File-feed driver: readStream the topic dir -> monitor -> parquet."""
+    from cds_spark.sources.feed import FEED_SCHEMA
+
+    src = (
+        spark.readStream.schema(FEED_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+    return (
+        staleness_monitor(src)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

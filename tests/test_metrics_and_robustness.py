@@ -189,3 +189,48 @@ def test_bootstrap_then_incremental_overlap_converges(spark, tmp_path):
     got = {(r["repo"], r["path"]): r["content"] for r in table.current().collect()}
     want = {k: v["content"] for k, v in oracle.items()}
     assert got == want
+
+
+def test_stateful_staleness_monitor(spark, tmp_path):
+    """applyInPandasWithState: per-key max-version state persists across
+    micro-batches; stale (version <= state max) events are counted exactly
+    as a python replay of the same files in the same batch order."""
+    from cds_spark.sources.feed import write_feed_files
+    from cds_spark.streaming.stateful import OUTPUT_SCHEMA, staleness_stream
+
+    topic = str(tmp_path / "topic")
+    out = str(tmp_path / "stale_out")
+    ckpt = str(tmp_path / "ckpt")
+    feed = change_feed(spark, 800, n_repos=3, paths_per_repo=5, seed=31,
+                       dup_pct=20).persist()
+    ranges = write_feed_files(feed, topic, 4)
+    assert len(ranges) == 4
+
+    q = staleness_stream(spark, topic, ckpt, out, max_files_per_trigger=1)
+    q.awaitTermination()
+
+    got = spark.read.schema(OUTPUT_SCHEMA).parquet(out).collect()
+    # python oracle: replay files in the same slice order the stream saw
+    rows = [r.asDict() for r in feed.collect()]
+    state: dict = {}
+    stale_total = 0
+    for a, b in ranges:
+        batch = [r for r in rows if a <= r["offset"] < b]
+        for r in batch:  # file order within a slice == row order (coalesce(1))
+            k = (r["repo"], r["path"])
+            ver = (r["commit"], r["offset"])
+            if k in state and ver <= state[k]:
+                stale_total += 1
+            else:
+                state[k] = ver
+    assert sum(r["n_stale"] for r in got) == stale_total
+    assert sum(r["n_events"] for r in got) == len(rows)
+    # final state max per key matches the oracle (state is monotone, so the
+    # max over a key's per-batch emissions IS its final state)
+    final = {}
+    for r in got:
+        k = (r["repo"], r["path"])
+        v = (r["max_commit"], r["max_offset"])
+        final[k] = max(final.get(k, v), v)
+    for k, v in state.items():
+        assert final[k] == v
