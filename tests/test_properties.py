@@ -1,0 +1,93 @@
+"""Property-based checks (hypothesis): the widening lattice's algebraic
+laws, and randomized replay convergence — any batch split + duplication +
+reordering of a change feed must produce the identical final table state
+(the reference's dbtesttool generates random workloads for the same reason,
+pkg/ckgroup/dbtesttool/dbtool/generate.go:8-89)."""
+
+import random
+
+import pyspark.sql.types as T
+from hypothesis import given, settings, strategies as st
+
+from cds_spark.schema import is_widening, widen
+
+SCALARS = [
+    T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType(),
+    T.FloatType(), T.DoubleType(), T.StringType(),
+    T.DateType(), T.TimestampType(), T.BooleanType(),
+]
+scalar = st.sampled_from(SCALARS)
+
+
+@given(scalar, scalar)
+def test_widen_commutative(a, b):
+    assert widen(a, b) == widen(b, a)
+
+
+@given(scalar)
+def test_widen_idempotent(a):
+    assert widen(a, a) == a
+
+
+@given(scalar, scalar)
+def test_widen_result_absorbs_both(a, b):
+    w = widen(a, b)
+    assert is_widening(a, w) and is_widening(b, w)
+
+
+@given(scalar, scalar, scalar)
+def test_widen_associative(a, b, c):
+    assert widen(widen(a, b), c) == widen(a, widen(b, c))
+
+
+@settings(max_examples=4, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_replay_converges_under_random_batching(spark, tmp_path_factory, seed):
+    """Same multiset of events, random batch boundaries, random extra
+    duplication, shuffled arrival order within the whole feed -> identical
+    live state (LWW idempotence + commutativity across batches)."""
+    from cds_spark.lake.table import LakeTable
+    from cds_spark.operators.decode import decode_feed, events_to_rows
+    from cds_spark.sources.feed import (
+        REPO_SCHEMA, change_feed, reference_replay_pandas,
+    )
+
+    rng = random.Random(seed)
+    feed = change_feed(spark, 400, n_repos=3, paths_per_repo=6,
+                       seed=seed % 1000, dup_pct=10).persist()
+    rows_py = [r.asDict() for r in feed.collect()]
+    oracle = reference_replay_pandas(rows_py)
+
+    # random re-delivery: duplicate a random subset once more, shuffle, and
+    # split into 1..5 batches at random boundaries
+    extra = rng.sample(rows_py, k=rng.randint(0, len(rows_py) // 3))
+    delivered = rows_py + extra
+    rng.shuffle(delivered)
+    n_batches = rng.randint(1, 5)
+    cuts = sorted(rng.sample(range(1, len(delivered)), k=n_batches - 1)) if n_batches > 1 else []
+    batches, prev = [], 0
+    for c in cuts + [len(delivered)]:
+        batches.append(delivered[prev:c])
+        prev = c
+
+    root = str(tmp_path_factory.mktemp("prop") / f"t{seed % 97}")
+    table = LakeTable.create(
+        spark, root, REPO_SCHEMA, pk=["repo", "path"],
+        version_cols=["commit", "_offset"], n_buckets=8,
+        properties={"merge_mode": rng.choice(["append", "upsert"])},
+    )
+    from cds_spark.sources.feed import FEED_SCHEMA
+
+    for i, b in enumerate(batches):
+        if not b:
+            continue
+        bdf = spark.createDataFrame(b, FEED_SCHEMA)
+        rows, _ = events_to_rows(
+            decode_feed(bdf, inject={"commit": "commit"}), table.schema, table.pk
+        )
+        table.merge(rows, fence=("p", i))
+
+    got = {(r["repo"], r["path"]): (r["commit"], r["content"])
+           for r in table.current().collect()}
+    want = {k: (v["commit"], v["content"]) for k, v in oracle.items()}
+    assert got == want
