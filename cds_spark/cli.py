@@ -136,8 +136,13 @@ def cmd_status(args) -> int:
         for fn in sorted(os.listdir(lineage_dir)):
             with open(os.path.join(lineage_dir, fn)) as f:
                 lines = f.readlines()
-            if lines:
-                tails[fn.rsplit(".", 1)[0]] = json.loads(lines[-1])
+            # a live sync job may be mid-append: take the last PARSEABLE line
+            for line in reversed(lines):
+                try:
+                    tails[fn.rsplit(".", 1)[0]] = json.loads(line)
+                    break
+                except ValueError:
+                    continue
         out["jobs"] = tails
     print(json.dumps(out, indent=2))
     return 0

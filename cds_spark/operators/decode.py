@@ -232,6 +232,11 @@ def decode_feed_arrow(
 
     import pandas as pd
 
+    if offset_col is None:
+        # the JVM path falls back to monotonically_increasing_id; a pandas
+        # batch-local index would collide across batches/partitions and
+        # break the LWW version tiebreaker — require a real offset column
+        raise ValueError("decode_feed_arrow requires offset_col (unique per event)")
     inject = dict(inject or {})
     out_schema = T.StructType(
         [
@@ -245,11 +250,20 @@ def decode_feed_arrow(
     op_map = dict(_OP_NORMALIZE)
     inj_keys = list(inject.items())
 
+    def _to_str(v):
+        # match from_json(map<string,string>) JSON scalar rendering:
+        # null stays null, booleans are 'true'/'false', numbers via str()
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return str(v)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ops, datas, exists, parts, offs = [], [], [], [], []
             part_src = pdf[partition_col] if partition_col else None
-            off_src = pdf[offset_col] if offset_col else None
+            off_src = pdf[offset_col]
             for i in range(len(pdf)):
                 op = op_map.get(pdf[op_col].iloc[i])
                 if op is None:
@@ -259,16 +273,18 @@ def decode_feed_arrow(
                     doc = _json.loads(raw) if raw is not None else None
                 except ValueError:
                     doc = None
+                if not isinstance(doc, dict):
+                    doc = None  # non-object JSON -> undecodable, like from_json
                 if doc is not None:
-                    data = {k: str(pdf[src].iloc[i]) for k, src in inj_keys}
-                    data.update({k: None if v is None else str(v) for k, v in doc.items()})
+                    data = {k: _to_str(pdf[src].iloc[i]) for k, src in inj_keys}
+                    data.update({k: _to_str(v) for k, v in doc.items()})
                 else:
                     data = None
                 ops.append(op)
                 datas.append(data)
                 exists.append(list(data.keys()) if data is not None else None)
                 parts.append(int(part_src.iloc[i]) if part_src is not None else 0)
-                offs.append(int(off_src.iloc[i]) if off_src is not None else i)
+                offs.append(int(off_src.iloc[i]))
             yield pd.DataFrame(
                 {"op": ops, "data": datas, "exists": exists,
                  "_partition": parts, "_offset": offs}

@@ -155,8 +155,11 @@ def materialize_feed(
     per = n_events // n_batches
     paths = []
     for i in range(n_batches):
+        # last batch takes the n_events % n_batches remainder so exactly
+        # n_events offsets are materialized
+        n = per if i < n_batches - 1 else n_events - per * (n_batches - 1)
         p = os.path.join(out_dir, f"batch-{i:05d}")
-        change_feed(spark, per, start_offset=i * per, **feed_kwargs).write.mode(
+        change_feed(spark, n, start_offset=i * per, **feed_kwargs).write.mode(
             "overwrite"
         ).format(fmt).save(p)
         paths.append(p)

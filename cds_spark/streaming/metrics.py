@@ -35,11 +35,10 @@ EVENTS_SCHEMA = T.StructType(
 
 
 def _op():
-    return (
-        F.when(F.col("event_type") == "signup", "c")
-        .when(F.col("event_type") == "error", "d")
-        .otherwise("u")
-    )
+    # the one op-normalization rule, shared with the batch query surface
+    from cds_spark.queries import _op_expr
+
+    return _op_expr()
 
 
 def change_rate_stream(

@@ -143,8 +143,11 @@ class IncrementalSync:
         ]
         n_dlq = 0
         if self.spec.dlq_dir:
-            dlq_out = dlq.withColumn("_batch_id", F.lit(batch_id))
-            dlq_out.write.mode("append").parquet(self.spec.dlq_dir)
+            dlq_out = dlq.withColumn("_batch_id", F.lit(batch_id)).persist()
+            n_dlq = dlq_out.count()
+            if n_dlq:
+                dlq_out.write.mode("append").parquet(self.spec.dlq_dir)
+            dlq_out.unpersist()
         stats = table.merge(rows, fence=(self.spec.job_id, batch_id), mode=self.spec.merge_mode)
         rec = {
             "job_id": self.spec.job_id,

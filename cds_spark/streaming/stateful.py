@@ -58,17 +58,23 @@ def _monitor(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[p
         max_commit, max_offset = state.get
     else:
         max_commit, max_offset = "", -1
+    # Order within a micro-batch group is NOT guaranteed after the groupBy
+    # shuffle, so counting against a running max in arrival order would be
+    # nondeterministic. Deterministic semantics instead: sort the batch by
+    # version, then a row is stale iff it does not advance the max — i.e.
+    # it is <= the pre-batch state, or duplicates a version already seen
+    # in this batch.
     n_events = n_stale = n_advanced = 0
+    rows = []
     for pdf in pdfs:
-        # vectorized within the Arrow batch: a row is stale iff its
-        # (commit, offset) tuple <= the running state max
         n_events += len(pdf)
-        for commit, offset in zip(pdf["commit"], pdf["offset"]):
-            if (commit, int(offset)) <= (max_commit, max_offset):
-                n_stale += 1
-            else:
-                max_commit, max_offset = commit, int(offset)
-                n_advanced += 1
+        rows.extend((c, int(o)) for c, o in zip(pdf["commit"], pdf["offset"]))
+    for commit, offset in sorted(rows):
+        if (commit, offset) <= (max_commit, max_offset):
+            n_stale += 1
+        else:
+            max_commit, max_offset = commit, offset
+            n_advanced += 1
     state.update((max_commit, max_offset))
     yield pd.DataFrame(
         [

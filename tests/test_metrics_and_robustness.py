@@ -210,13 +210,18 @@ def test_stateful_staleness_monitor(spark, tmp_path):
     q.awaitTermination()
 
     got = spark.read.schema(OUTPUT_SCHEMA).parquet(out).collect()
-    # python oracle: replay files in the same slice order the stream saw
+    # python oracle matching the operator's deterministic semantics: within
+    # each micro-batch a key's rows are processed in VERSION order (shuffle
+    # order is not meaningful), state carries across batches
     rows = [r.asDict() for r in feed.collect()]
     state: dict = {}
     stale_total = 0
     for a, b in ranges:
-        batch = [r for r in rows if a <= r["offset"] < b]
-        for r in batch:  # file order within a slice == row order (coalesce(1))
+        batch = sorted(
+            (r for r in rows if a <= r["offset"] < b),
+            key=lambda r: (r["commit"], r["offset"]),
+        )
+        for r in batch:
             k = (r["repo"], r["path"])
             ver = (r["commit"], r["offset"])
             if k in state and ver <= state[k]:

@@ -172,7 +172,11 @@ def main() -> None:
         "hw_ceiling_efficiency": round(probe_speedup / (four_n / n), 3),
         "normalized_scaling_efficiency": round(raw_speedup / probe_speedup, 3),
         "target": 0.8,
-        "pass": raw_speedup / probe_speedup >= 0.8,
+        # primary gate = the rule's RAW efficiency, so a real engine scaling
+        # regression can never hide behind a low probe ceiling; the
+        # normalized number is supplementary evidence about the host
+        "pass": raw_speedup / (four_n / n) >= 0.8,
+        "pass_normalized_to_host_ceiling": raw_speedup / probe_speedup >= 0.8,
     }
     print(json.dumps(report, indent=2))
     with open(os.path.join(repo, "BENCH_SCALING.json"), "w") as f:
