@@ -1,0 +1,48 @@
+"""Physical-plan regression guards: the properties PLANS.md records must
+survive refactors — filters reach the parquet scan, scans are
+column-pruned, small dims broadcast, LWW queries don't drag unused wide
+columns through the collapse shuffle."""
+
+import io
+import contextlib
+
+from cds_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    plan = _plan(spark, "pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan  # predicate reached the scan
+    assert "l_comment" not in plan  # untouched wide column pruned
+
+
+def test_snapshot_asof_bound_pushed(spark):
+    plan = _plan(spark, "cdc_snapshot_asof")
+    assert "LessThan(ts" in plan
+
+
+def test_revenue_by_nation_broadcasts_dim(spark):
+    plan = _plan(spark, "revenue_by_nation")
+    assert "BroadcastHashJoin" in plan
+    # scans read only the join/agg columns
+    assert "o_comment" not in plan and "c_comment" not in plan
+
+
+def test_lww_current_state_prunes_props(spark):
+    # the collapse struct must not carry the wide unused props JSON column
+    plan = _plan(spark, "cdc_lww_current_state")
+    assert "props" not in plan
+
+
+def test_dedup_exact_reads_two_columns(spark):
+    plan = _plan(spark, "dedup_exact")
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
