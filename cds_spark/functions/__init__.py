@@ -25,13 +25,20 @@ def shard_hash(*cols: Column | str, buckets: int) -> Column:
     return F.pmod(F.xxhash64(*[F.col(c) if isinstance(c, str) else c for c in cols]), F.lit(buckets))
 
 
-def salted_key(key: Column, salt_buckets: int, hot_pred: Column | None = None) -> Column:
+def salted_key(
+    key: Column, salt_buckets: int, salt_on: Column, hot_pred: Column | None = None
+) -> Column:
     """Append a salt suffix for hot keys (explicit skew handling per north rule).
+
+    ``salt_on`` must be row content that is stable across retries/replays
+    (e.g. the event offset, or offset+pk as in LakeTable._write_txn) —
+    NEVER monotonically_increasing_id(), whose value depends on partition
+    layout and would re-salt the same row differently under task retry.
 
     If ``hot_pred`` is given, only rows matching it are salted; others get
     salt 0 so small keys stay in one partition (no extra merge cost).
     """
-    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    salt = F.pmod(F.xxhash64(salt_on), F.lit(salt_buckets))
     if hot_pred is not None:
         salt = F.when(hot_pred, salt).otherwise(F.lit(0))
     return F.concat_ws("#", key, salt.cast("string"))

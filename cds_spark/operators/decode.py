@@ -62,8 +62,14 @@ def _norm_op(col):
 
 
 def _finish(df: DataFrame, partition_col: str | None, offset_col: str | None) -> DataFrame:
+    if offset_col is None:
+        # A monotonically_increasing_id() fallback would be partition-layout-
+        # dependent and change across restarts — replays would NOT converge
+        # under the (commit, offset) LWW tiebreak. Same guard as the Arrow
+        # path: the caller must supply a real, stable offset column.
+        raise ValueError("decode requires offset_col (stable unique per event)")
     part = F.col(partition_col) if partition_col else F.lit(0)
-    off = F.col(offset_col) if offset_col else F.monotonically_increasing_id()
+    off = F.col(offset_col)
     return df.select(
         "op",
         "data",
@@ -144,8 +150,17 @@ def decode_connector_mongo(
     """connector-mongodb change stream: ``{operationType, fullDocument,
     documentKey, updateDescription:{updatedFields, removedFields}}``
     (connectormongomodel.go:11-28). updates are PARTIAL: data = documentKey
-    + updatedFields; removedFields are reset to defaults via the exists mask
-    (connectormongomodel.go:104-119)."""
+    + updatedFields + removedFields-reset-to-default.
+
+    A removed field is RESET, not skipped (connectormongomodel.go:113-118:
+    ``vm[columnName] = NullValMap[dataType]``) — it lands in ``data`` as the
+    empty string and in the exists mask, so column-wise LWW overwrites the
+    stale value; the lenient coercion in events_to_rows turns '' into the
+    per-type default ('' / 0 / 0.0 / epoch), exactly NullValMap
+    (debeziumsyncdatatype.go:22-28). The reference resets only columns the
+    table knows; we carry unknown removed keys too — harmless, since
+    events_to_rows projects onto the table schema anyway."""
+    empty_map = F.from_json(F.lit("{}"), MAP_SS)
     schema = T.StructType(
         [
             T.StructField("operationType", T.StringType()),
@@ -164,9 +179,16 @@ def decode_connector_mongo(
     )
     p = df.withColumn("_e", F.from_json(F.col(value_col), schema))
     p = p.withColumn("op", _norm_op(F.col("_e.operationType"))).filter(F.col("op").isNotNull())
+    removed = F.coalesce(
+        F.col("_e.updateDescription.removedFields"),
+        F.array().cast(T.ArrayType(T.StringType())),
+    )
+    # updatedFields first, removed-reset second: a key in both ends reset,
+    # matching the reference's loop order (requires LAST_WIN, set by session)
     upd = F.map_concat(
-        F.coalesce(F.col("_e.documentKey"), F.lit(None).cast(MAP_SS)),
-        F.coalesce(F.col("_e.updateDescription.updatedFields"), F.lit(None).cast(MAP_SS)),
+        F.coalesce(F.col("_e.documentKey"), empty_map),
+        F.coalesce(F.col("_e.updateDescription.updatedFields"), empty_map),
+        F.map_from_arrays(removed, F.transform(removed, lambda _: F.lit(""))),
     )
     p = p.withColumn(
         "data",

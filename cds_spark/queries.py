@@ -229,25 +229,45 @@ ORDER BY user_id LIMIT 25
 
 def q_cdc_json_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON payload decode (the parse stage, parse.go:109-134): extract
-    props.k, aggregate per event_type."""
+    props.k, aggregate per event_type.
+
+    Cross-engine determinism: k is extracted as text and try_cast to long
+    (totally defined — fractional/non-numeric/missing -> NULL in BOTH
+    engines), and avg_k is derived from the exact integer aggregates with
+    ONE double division (round(sum_k/n_k, 4)) instead of each engine's own
+    running-average — bit-identical everywhere."""
     ev = load(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    k = F.get_json_object("props", "$.k").try_cast("long")
     return (
         ev.withColumn("k", k)
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
             F.sum("k").alias("sum_k"),
-            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.count("k").alias("n_k"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "sum_k",
+            F.when(
+                F.col("n_k") > 0,
+                F.round(F.col("sum_k").cast("double") / F.col("n_k"), 4),
+            ).alias("avg_k"),
         )
     )
 
 
 ORACLE_JSON_STATS = """
-SELECT event_type, count(*) AS n_events,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
-FROM events GROUP BY event_type
+WITH e AS (
+  SELECT event_type,
+         TRY_CAST(CASE WHEN json_valid(props)
+                       THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
+  FROM events)
+SELECT event_type, count(*) AS n_events, sum(k) AS sum_k,
+       CASE WHEN count(k) > 0
+            THEN round(CAST(sum(k) AS DOUBLE) / count(k), 4) END AS avg_k
+FROM e GROUP BY event_type
 """
 
 
@@ -446,7 +466,10 @@ FROM events WHERE event_type <> 'purchase'
 def q_decode_connector_mongo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """connector-mongodb change stream: inserts carry fullDocument, updates
     are PARTIAL (documentKey + updatedFields merged), deletes key-only
-    (connectormongomodel.go:69-119). n_fields checks the exists mask."""
+    (connectormongomodel.go:69-119). n_fields checks the exists mask;
+    ``stale`` asserts the removedFields reset: the removed column arrives as
+    the type default ('' -> coerced) and IS present, so it overwrites the
+    old value under column-wise LWW (connectormongomodel.go:113-118)."""
     from cds_spark.operators.decode import decode_connector_mongo
 
     ev = load(spark, sf_dir, "events")
@@ -483,6 +506,7 @@ def q_decode_connector_mongo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("data")["user_id"].cast("long").alias("user_id"),
         "op",
         F.col("data")["val"].cast("double").alias("val"),
+        F.col("data")["stale_field"].alias("stale"),
         F.size("exists").cast("long").alias("n_fields"),
     )
 
@@ -492,8 +516,9 @@ SELECT event_id, user_id,
        CASE WHEN event_type = 'signup' THEN 'c'
             WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
        CASE WHEN event_type = 'error' THEN NULL ELSE round(value, 2) END AS val,
+       CASE WHEN event_type NOT IN ('signup', 'error') THEN '' END AS stale,
        CASE WHEN event_type = 'signup' THEN 3
-            WHEN event_type = 'error' THEN 1 ELSE 2 END AS n_fields
+            WHEN event_type = 'error' THEN 1 ELSE 3 END AS n_fields
 FROM events
 """
 

@@ -144,6 +144,63 @@ def test_columnwise_lww_partial_updates(spark):
     assert out.commit == "000003"
 
 
+def test_decode_requires_explicit_offset(spark):
+    """No monotonically_increasing_id fallback: a layout-dependent offset
+    would break LWW replay convergence (same guard as the Arrow path)."""
+    import pytest as _pytest
+
+    from cds_spark.operators.decode import decode_canal, decode_debezium_mysql
+
+    df = spark.createDataFrame([('{"type":"INSERT","data":[{"id":"1"}]}',)], "value string")
+    with _pytest.raises(ValueError, match="offset"):
+        decode_canal(df)
+    with _pytest.raises(ValueError, match="offset"):
+        decode_debezium_mysql(df)
+
+
+def test_connector_mongo_removed_fields_reset_to_default(spark):
+    """removedFields reset the column to its type default and mark it
+    present (connectormongomodel.go:113-118) — NOT silently dropped: stale
+    values must lose column-wise LWW to the reset."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from cds_spark.operators.decode import decode_connector_mongo, events_to_rows
+
+    env = _json.dumps(
+        {
+            "operationType": "update",
+            "documentKey": {"id": "1"},
+            "updateDescription": {
+                "updatedFields": {"a": "9", "both": "new"},
+                "removedFields": ["b", "both"],
+            },
+        }
+    )
+    df = spark.createDataFrame([(env, 7)], "value string, off long")
+    ev = decode_connector_mongo(df, offset_col="off").collect()[0]
+    # removed fields present as '' (the string form of the type default);
+    # a key both updated and removed ends reset (reference loop order)
+    assert ev.data == {"id": "1", "a": "9", "b": "", "both": ""}
+    assert sorted(ev.exists) == ["a", "b", "both", "id"]
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.DoubleType()),
+            T.StructField("both", T.StringType()),
+        ]
+    )
+    rows, dlq = events_to_rows(
+        decode_connector_mongo(df, offset_col="off"), schema, pk=["id"]
+    )
+    r = rows.collect()[0]
+    # '' coerces to the per-type default (NullValMap semantics) and is
+    # NON-NULL, so it overwrites under lww_collapse_columnwise
+    assert r.a == 9 and r.b == 0.0 and r.both == ""
+
+
 def test_arrow_decode_matches_jvm_decode(spark):
     from cds_spark.operators.decode import decode_feed, decode_feed_arrow
     from cds_spark.sources.feed import change_feed

@@ -3,8 +3,11 @@
 Runs every __spark_entry__.queries() entry on Spark and its oracle_sql() in
 DuckDB at sf0.01, then compares row count, column names, and an
 order-insensitive value hash (columns sorted by name, rows sorted by their
-canonical string). Floats are canonicalized via repr of round(x, 9) so both
-engines' doubles hash identically when they agree to 1e-9.
+canonical string). Floats hash EXACTLY (repr round-trips every double
+bit-for-bit): the round-1 driver gate failed a query the old 1e-9
+canonicalization passed locally, so the local gate is now at least as
+strict as any driver tolerance — queries must round in BOTH engines from
+identical inputs.
 
 Usage: python tools/check_oracles.py [sf_dir] [query ...]
 """
@@ -32,10 +35,9 @@ def canon(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        r = round(v, 9)
-        if r == int(r) and abs(r) < 2**53:
-            return str(int(r))
-        return repr(r)
+        if v == int(v) and abs(v) < 2**53:
+            return str(int(v))  # collapse integral float vs int column typing
+        return repr(v)  # exact: repr distinguishes any two different doubles
     if isinstance(v, bool):
         return str(int(v))
     return str(v)
