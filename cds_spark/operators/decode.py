@@ -200,6 +200,113 @@ def decode_connector_mongo(
     return _finish(p, partition_col, offset_col)
 
 
+def _mongoize(m, empty_map):
+    """The debezium-mongodb ValueMap normalization (debeziumsyncmodel.go
+    setValueMap, :158-199), as pure JVM map expressions over a parsed
+    ``map<string,string>``:
+
+    - ``$v`` dropped (protocol version marker);
+    - ``$set`` flattened into the result with ``$`` stripped from its keys;
+    - ``_id`` object unwrapped: ``{"$oid": hex}`` -> ``_id=hex``; any other
+      ``$``-prefixed wrapper key is stripped and kept (reference behavior:
+      ``{"$numberLong": "5"}`` under _id yields ``numberLong=5``);
+    - scalar ``_id`` kept as-is;
+    - all other nested objects stay as their raw JSON text (from_json's
+      map<string,string> rendering == the reference's json.Marshal).
+
+    Deviation (documented): the reference's Go switch silently DROPS
+    boolean- and array-valued fields (no case for them); we keep them as
+    strings — strictly more information, and the lenient coercion
+    downstream yields the same typed defaults."""
+    base = F.map_filter(
+        F.coalesce(m, empty_map), lambda k, _: ~k.isin("$set", "$v", "_id")
+    )
+    set_m = F.transform_keys(
+        F.coalesce(F.from_json(F.element_at(m, "$set"), MAP_SS), empty_map),
+        lambda k, _: F.regexp_replace(k, r"[$]", ""),
+    )
+    id_raw = F.element_at(m, "_id")
+    id_obj = F.from_json(id_raw, MAP_SS)  # null unless _id is a JSON object
+    id_m = (
+        F.when(
+            id_obj.isNotNull(),
+            F.transform_keys(
+                id_obj,
+                lambda k, _: F.when(
+                    F.regexp_replace(k, r"[$]", "") == "oid", F.lit("_id")
+                ).otherwise(F.regexp_replace(k, r"[$]", "")),
+            ),
+        )
+        .when(id_raw.isNotNull(), F.create_map(F.lit("_id"), id_raw))
+        .otherwise(empty_map)
+    )
+    return F.map_concat(base, set_m, id_m)
+
+
+def decode_debezium_mongo(
+    df: DataFrame,
+    value_col: str = "value",
+    partition_col: str | None = None,
+    offset_col: str | None = None,
+) -> DataFrame:
+    """debezium-mongodb: ``{payload:{filter, after, patch, op}}`` where
+    filter/after/patch are JSON *strings* (Mongo extended JSON) —
+    debeziumsyncmodel.go:106-155 + envelope common.go:86-91:
+
+    - ``c``: parse ``after``;
+    - ``u``: ``$set`` patch merged with the ``filter`` key (filter wins on
+      conflict — the reference applies patch first, then filter over it);
+    - ``d``: ``filter`` only;
+    - ``r`` (snapshot read): dropped (debeziumsyncmodel.go:150-151).
+
+    Requires ``spark.sql.mapKeyDedupPolicy=LAST_WIN`` (set by
+    :func:`cds_spark.session.get_spark`) for the patch<-filter overwrite
+    order. Extended-JSON *values* (``{"$date": ms}`` etc.) surviving into
+    ``data`` are unwrapped later by the lenient coercion
+    (:mod:`cds_spark.schema`), mirroring the reference's type loop."""
+    empty_map = F.from_json(F.lit("{}"), MAP_SS)
+    schema = T.StructType(
+        [
+            T.StructField(
+                "payload",
+                T.StructType(
+                    [
+                        T.StructField("filter", T.StringType()),
+                        T.StructField("after", T.StringType()),
+                        T.StructField("patch", T.StringType()),
+                        T.StructField("op", T.StringType()),
+                    ]
+                ),
+            )
+        ]
+    )
+    p = df.withColumn("_e", F.from_json(F.col(value_col), schema))
+    p = p.withColumn("op", _norm_op(F.col("_e.payload.op"))).filter(F.col("op").isNotNull())
+    after_p = F.from_json(F.col("_e.payload.after"), MAP_SS)
+    patch_p = F.from_json(F.col("_e.payload.patch"), MAP_SS)
+    filter_p = F.from_json(F.col("_e.payload.filter"), MAP_SS)
+    after_m = _mongoize(after_p, empty_map)
+    patch_m = _mongoize(patch_p, empty_map)
+    filter_m = _mongoize(filter_p, empty_map)
+    # a missing/unparseable member -> data NULL -> undecodable DLQ split
+    # (the reference returns an error from UnmarshalFromString, feeding the
+    # {topic}-failed producer); 'u' needs BOTH patch and filter
+    p = p.withColumn(
+        "data",
+        F.when(F.col("op") == "c", F.when(after_p.isNotNull(), after_m))
+        .when(
+            F.col("op") == "u",
+            F.when(
+                patch_p.isNotNull() & filter_p.isNotNull(),
+                F.map_concat(patch_m, filter_m),
+            ),
+        )
+        .otherwise(F.when(filter_p.isNotNull(), filter_m)),
+    )
+    p = p.withColumn("exists", F.map_keys(F.col("data")))
+    return _finish(p, partition_col, offset_col)
+
+
 def decode_feed(
     df: DataFrame,
     payload_col: str = "payload",

@@ -523,6 +523,77 @@ FROM events
 """
 
 
+def q_decode_debezium_mongo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """debezium-mongodb ``{payload:{filter,after,patch,op}}`` round-trip
+    (debeziumsyncmodel.go:106-155): inserts parse ``after``; updates merge
+    the ``$set`` patch with the ``filter`` key ($v dropped); deletes carry
+    ``filter`` only; ``r`` snapshot reads (purchase events here) dropped.
+    ``oid`` asserts the ``_id.$oid`` unwrap, ``nested`` the
+    nested-object->JSON-string rule, ``n_fields`` the exists mask."""
+    from cds_spark.operators.decode import decode_debezium_mongo
+
+    ev = load(spark, sf_dir, "events")
+    opw = (
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "error", "d")
+        .when(F.col("event_type") == "purchase", "r")  # snapshot read: dropped
+        .otherwise("u")
+    )
+    oid = F.format_string("%024x", F.col("user_id"))
+    after = F.to_json(
+        F.struct(
+            F.struct(oid.alias("$oid")).alias("_id"),
+            F.round("value", 2).alias("val"),
+            F.upper("event_type").alias("lang"),
+            F.struct(F.col("user_id").alias("u")).alias("nested"),
+        )
+    )
+    patch = F.to_json(
+        F.struct(
+            F.lit(1).alias("$v"),
+            F.struct(
+                F.round("value", 2).alias("val"), F.upper("event_type").alias("lang")
+            ).alias("$set"),
+        )
+    )
+    filt = F.to_json(F.struct(F.struct(oid.alias("$oid")).alias("_id")))
+    env = F.to_json(
+        F.struct(
+            F.struct(
+                F.when(opw == "c", after).alias("after"),
+                F.when(opw == "u", patch).alias("patch"),
+                F.when(opw.isin("u", "d"), filt).alias("filter"),
+                opw.alias("op"),
+            ).alias("payload")
+        )
+    )
+    wire = ev.select(env.alias("value"), "event_id")
+    dec = decode_debezium_mongo(wire, offset_col="event_id")
+    return dec.select(
+        F.col("_offset").alias("event_id"),
+        F.col("data")["_id"].alias("oid"),
+        "op",
+        F.col("data")["val"].cast("double").alias("val"),
+        F.col("data")["lang"].alias("lang"),
+        F.col("data")["nested"].alias("nested"),
+        F.size("exists").cast("long").alias("n_fields"),
+    )
+
+
+ORACLE_DECODE_DBZ_MONGO = """
+SELECT event_id,
+       printf('%024x', user_id) AS oid,
+       CASE WHEN event_type = 'signup' THEN 'c'
+            WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+       CASE WHEN event_type = 'error' THEN NULL ELSE round(value, 2) END AS val,
+       CASE WHEN event_type = 'error' THEN NULL ELSE upper(event_type) END AS lang,
+       CASE WHEN event_type = 'signup' THEN '{"u":' || user_id || '}' END AS nested,
+       CASE WHEN event_type = 'signup' THEN 4
+            WHEN event_type = 'error' THEN 1 ELSE 3 END AS n_fields
+FROM events WHERE event_type <> 'purchase'
+"""
+
+
 def q_cdc_lww_columnwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-wise LWW honoring partial updates (the existsKeys merge,
     cmd/rtu/model/common.go:49-56 + parse.go:268-306): per column, last
@@ -709,6 +780,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decode_debezium_mysql": q_decode_debezium_mysql,
     "decode_canal_batch": q_decode_canal_batch,
     "decode_connector_mongo": q_decode_connector_mongo,
+    "decode_debezium_mongo": q_decode_debezium_mongo,
     "cdc_lww_columnwise": q_cdc_lww_columnwise,
     "cdc_change_rate": q_cdc_change_rate,
     "dedup_exact": q_dedup_exact,
@@ -742,6 +814,7 @@ ORACLES: dict[str, str] = {
     "decode_debezium_mysql": ORACLE_DECODE_DEBEZIUM,
     "decode_canal_batch": ORACLE_DECODE_CANAL,
     "decode_connector_mongo": ORACLE_DECODE_MONGO,
+    "decode_debezium_mongo": ORACLE_DECODE_DBZ_MONGO,
     "cdc_lww_columnwise": ORACLE_LWW_COLUMNWISE,
     "cdc_change_rate": ORACLE_CHANGE_RATE,
     "dedup_exact": ORACLE_DEDUP_EXACT,

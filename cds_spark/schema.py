@@ -91,36 +91,93 @@ TIME_LAYOUTS = [
 ]
 
 
+_MAP_SS = T.MapType(T.StringType(), T.StringType())
+
+
+def _ext(s: Column, key: str) -> Column:
+    """Value of key inside a Mongo extended-JSON wrapper object, else NULL.
+    Guarded by a cheap startswith so plain scalars never pay the from_json."""
+    return F.when(s.startswith("{"), F.element_at(F.from_json(s, _MAP_SS), key))
+
+
+def _ext_num_token(s: Column) -> Column:
+    """Numeric token inside Mongo extended JSON: ``{"$numberLong": "n"}``,
+    ``{"$numberInt"|"$numberDouble"|"$numberDecimal": ...}`` and
+    ``{"$date": ms}`` (possibly ``{"$date": {"$numberLong": "ms"}}``) —
+    reference connectormongomodel.go:127-167 converts exactly these during
+    value coercion; without the unwrap a ``$date`` object would silently
+    coerce to the epoch default (wrong timestamps for every Mongo source)."""
+    date_raw = _ext(s, "$date")
+    date_tok = F.coalesce(_ext(date_raw, "$numberLong"), date_raw)
+    return F.coalesce(
+        _ext(s, "$numberLong"),
+        _ext(s, "$numberInt"),
+        _ext(s, "$numberDouble"),
+        _ext(s, "$numberDecimal"),
+        date_tok,
+    )
+
+
 def lenient_long(c: Column) -> Column:
-    """string/number -> long; non-numeric -> 0 (canalsyncmodel.go:100-146)."""
+    """string/number -> long; Mongo extended-JSON wrappers unwrapped
+    ($date -> epoch ms, like the reference); non-numeric -> 0
+    (canalsyncmodel.go:100-146, connectormongomodel.go:127-167)."""
+    s = c.cast("string")
+    ext = _ext_num_token(s)
     return F.coalesce(
         c.try_cast("long"),
         c.try_cast("double").cast("long"),
+        ext.try_cast("long"),
+        ext.try_cast("double").cast("long"),
         F.lit(0),
     )
 
 
 def lenient_double(c: Column) -> Column:
-    return F.coalesce(c.try_cast("double"), F.lit(0.0))
+    ext = _ext_num_token(c.cast("string"))
+    return F.coalesce(c.try_cast("double"), ext.try_cast("double"), F.lit(0.0))
 
 
 def lenient_timestamp(c: Column) -> Column:
     """Multi-layout parse; integers treated as epoch ms (>=10^12) or s;
-    unparseable -> epoch (debeziumsyncdatatype.go:156-170)."""
+    Mongo ``{"$date": ms|iso|{"$numberLong"}}`` unwrapped as epoch-ms /
+    ISO (connectormongomodel.go:134-152); unparseable -> epoch
+    (debeziumsyncdatatype.go:156-170)."""
     s = c.cast("string")
     as_long = s.try_cast("long")
     candidates = [F.try_to_timestamp(s, F.lit(fmt)) for fmt in TIME_LAYOUTS]
-    epoch_like = F.when(
-        as_long.isNotNull(),
-        F.when(F.abs(as_long) >= F.lit(10**12), F.timestamp_millis(as_long)).otherwise(
-            F.timestamp_seconds(as_long)
+    date_raw = _ext(s, "$date")
+    date_tok = F.coalesce(_ext(date_raw, "$numberLong"), date_raw)
+    # $date is ALWAYS epoch-ms when numeric (no ms-vs-s heuristic), else ISO
+    date_ts = F.when(
+        date_tok.isNotNull(),
+        F.coalesce(
+            F.timestamp_millis(date_tok.try_cast("long")),
+            *[F.try_to_timestamp(date_tok, F.lit(fmt)) for fmt in TIME_LAYOUTS],
         ),
     )
-    return F.coalesce(*candidates, epoch_like, F.lit(EPOCH).cast("timestamp"))
+    # plain epoch ints, incl. {"$numberLong"/"$numberInt": "n"} wrappers
+    # (the reference converts those to int before its time dispatch)
+    num = F.coalesce(
+        as_long, F.coalesce(_ext(s, "$numberLong"), _ext(s, "$numberInt")).try_cast("long")
+    )
+    epoch_like = F.when(
+        num.isNotNull(),
+        F.when(F.abs(num) >= F.lit(10**12), F.timestamp_millis(num)).otherwise(
+            F.timestamp_seconds(num)
+        ),
+    )
+    return F.coalesce(*candidates, date_ts, epoch_like, F.lit(EPOCH).cast("timestamp"))
 
 
 def lenient_string(c: Column) -> Column:
-    return F.coalesce(c.cast("string"), F.lit(""))
+    s = c.cast("string")
+    # ObjectId wrapper -> its hex (the reference unwraps _id.$oid at decode;
+    # this covers ObjectId-valued columns under any other name); numeric
+    # wrappers -> their token (the reference converts $date/$numberLong to
+    # int for every key before type dispatch, so a string column sees the
+    # number's text); other JSON objects stay raw JSON text (json.Marshal)
+    return F.coalesce(_ext(s, "$oid"), _ext_num_token(s), s, F.lit(""))
 
 
 def coerce(c: Column, dt: T.DataType, lenient: bool = True) -> Column:

@@ -201,6 +201,44 @@ def test_connector_mongo_removed_fields_reset_to_default(spark):
     assert r.a == 9 and r.b == 0.0 and r.both == ""
 
 
+def test_decode_debezium_mongo_dialect(spark):
+    """The 4th wire dialect (debeziumsyncmodel.go:106-155): $set patch
+    merged with filter key, $v skipped, $-stripped $set keys, _id.$oid
+    unwrap (non-oid wrapper keys kept $-stripped), nested -> raw JSON
+    string, 'r' dropped, missing members -> undecodable (null data)."""
+    import json as _json
+
+    from cds_spark.operators.decode import decode_debezium_mongo
+
+    def env(op, **members):
+        p = {"op": op}
+        p.update({k: _json.dumps(v) for k, v in members.items()})
+        return _json.dumps({"payload": p})
+
+    rows = [
+        (env("c", after={"_id": {"$oid": "abc"}, "val": 1.5,
+                         "nested": {"a": 1}, "arr": [1, 2]}), 1),
+        (env("u", patch={"$v": 1, "$set": {"val": 2.5, "$weird": "w"}},
+             filter={"_id": {"$oid": "abc"}}), 2),
+        (env("d", filter={"_id": {"$oid": "abc"}}), 3),
+        (env("r", after={"_id": "x"}), 4),                     # snapshot: dropped
+        (env("u", patch={"$set": {"v": "9"}}), 5),             # no filter: null
+        (env("c", after={"_id": 7, "k": {"$numberLong": "5"}}), 6),  # scalar _id
+        (env("c", after={"_id": {"$numberLong": "5"}}), 7),    # non-oid _id wrapper
+    ]
+    df = spark.createDataFrame(rows, "value string, off long")
+    out = {r._offset: r for r in decode_debezium_mongo(df, offset_col="off").collect()}
+    assert sorted(out) == [1, 2, 3, 5, 6, 7]  # 'r' dropped
+    assert out[1].op == "c" and out[1].data == {
+        "_id": "abc", "val": "1.5", "nested": '{"a":1}', "arr": "[1,2]"
+    }
+    assert out[2].op == "u" and out[2].data == {"_id": "abc", "val": "2.5", "weird": "w"}
+    assert out[3].op == "d" and out[3].data == {"_id": "abc"}
+    assert out[5].data is None  # -> DLQ via events_to_rows
+    assert out[6].data == {"_id": "7", "k": '{"$numberLong":"5"}'}
+    assert out[7].data == {"numberLong": "5"}  # reference's $-strip behavior
+
+
 def test_arrow_decode_matches_jvm_decode(spark):
     from cds_spark.operators.decode import decode_feed, decode_feed_arrow
     from cds_spark.sources.feed import change_feed

@@ -132,6 +132,54 @@ def test_lenient_coercion_matrix(spark):
     assert str(out.t3) == "1970-01-01 00:00:00"
 
 
+def test_mongo_extended_json_coercion(spark):
+    """Mongo extended-JSON value unwrapping during coercion
+    (connectormongomodel.go:127-167): {"$date": ms} (always epoch-MS,
+    numeric or $numberLong-wrapped), {"$numberLong"/"$numberInt": "n"},
+    {"$oid": hex} for strings. Without this, a $date object would coerce
+    to the epoch default — silently wrong timestamps for Mongo sources."""
+    import pyspark.sql.types as T
+
+    from cds_spark.schema import coerce
+
+    df = spark.createDataFrame(
+        [
+            (
+                '{"$date": 1592906230494}',
+                '{"$date": {"$numberLong": "1592906230494"}}',
+                '{"$date": "2020-06-23T09:57:10"}',
+                '{"$numberLong": "1594655999000"}',
+                '{"$numberInt": "42"}',
+                '{"$oid": "5f0e4ecbcaf9e53e0c9d5a42"}',
+                '{"$numberDouble": "1.5"}',
+            )
+        ],
+        "d1 string, d2 string, d3 string, nl string, ni string, oid string, nd string",
+    )
+    out = df.select(
+        coerce(F.col("d1"), T.TimestampType()).alias("t1"),
+        coerce(F.col("d2"), T.TimestampType()).alias("t2"),
+        coerce(F.col("d3"), T.TimestampType()).alias("t3"),
+        coerce(F.col("nl"), T.LongType()).alias("l1"),
+        coerce(F.col("nl"), T.TimestampType()).alias("lt"),
+        coerce(F.col("ni"), T.LongType()).alias("l2"),
+        coerce(F.col("oid"), T.StringType()).alias("s1"),
+        coerce(F.col("nl"), T.StringType()).alias("s2"),
+        coerce(F.col("nd"), T.DoubleType()).alias("f1"),
+        coerce(F.col("nd"), T.LongType()).alias("l3"),
+    ).collect()[0]
+    assert str(out.t1) == "2020-06-23 09:57:10.494000"  # $date is epoch-MS
+    assert str(out.t2) == "2020-06-23 09:57:10.494000"
+    assert str(out.t3) == "2020-06-23 09:57:10"
+    assert out.l1 == 1594655999000
+    assert out.lt.year == 2020  # $numberLong into a time column: epoch-ms
+    assert out.l2 == 42
+    assert out.s1 == "5f0e4ecbcaf9e53e0c9d5a42"
+    assert out.s2 == "1594655999000"
+    assert out.f1 == 1.5
+    assert out.l3 == 1  # atoi fails -> float path truncates
+
+
 def test_compact_purges_tombstones(spark, tmp_path):
     table = _mk_table(spark, tmp_path)
     feed = change_feed(spark, 500, n_repos=5, paths_per_repo=10, seed=4)
