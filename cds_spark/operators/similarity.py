@@ -42,8 +42,8 @@ def _hp_component(j: int, k: int) -> float:
     return ((h % _HP_RANGE) - 1000) / 1000.0
 
 
-def hyperplanes(dim: int) -> list[list[float]]:
-    return [[_hp_component(j, k) for k in range(dim)] for j in range(LSH_BITS)]
+def hyperplanes(dim: int, n_bits: int = LSH_BITS) -> list[list[float]]:
+    return [[_hp_component(j, k) for k in range(dim)] for j in range(n_bits)]
 
 
 def brute_force_topk(emb: DataFrame, k: int = TOP_K, n_queries: int = N_QUERIES) -> DataFrame:
@@ -82,7 +82,12 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 
 
 def near_dup_pairs(emb: DataFrame, threshold: float = NEAR_DUP_COS) -> DataFrame:
-    """All vector pairs with cosine >= threshold (embedding near-dup)."""
+    """All vector pairs with cosine >= threshold (embedding near-dup).
+
+    O(n²) BY CONSTRUCTION — the correct-by-definition small-scale baseline
+    (the exact-Jaccard analog of ngram_jaccard_pairs). NEVER a production
+    path at scale: use :func:`lsh_near_dup_pairs`, whose banded candidate
+    generation is linear in corpus size."""
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
     return (
@@ -98,6 +103,117 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= {NEAR_DUP_COS}
+"""
+
+
+# banded hyperplane scheme for PAIR mining (vs. the single-band bucket used
+# for query top-k): a pair is a candidate if ANY band of sign bits matches.
+# With p = P(two vectors agree on one hyperplane) = 1 - theta/pi, candidate
+# probability = 1 - (1 - p^BITS_PER_BAND)^PAIR_BANDS — at the 0.42 cosine
+# threshold (p ~ 0.64) that is ~0.985, vs ~0.03 for a single 8-bit band.
+PAIR_BITS = 16
+PAIR_BANDS = 8
+BITS_PER_BAND = PAIR_BITS // PAIR_BANDS
+
+
+def _dot_expr(vec: F.Column, hp: list[float]) -> F.Column:
+    return F.aggregate(
+        F.zip_with(
+            vec,
+            F.array(*[F.lit(x) for x in hp]),
+            lambda a, b: a.cast("double") * b,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _band_array_expr(vec: F.Column, dim: int) -> F.Column:
+    """array<int> of PAIR_BANDS band keys (BITS_PER_BAND sign bits each)."""
+    hps = hyperplanes(dim, PAIR_BITS)
+    bits = [
+        F.when(_dot_expr(vec, hps[j]) > 0, F.lit(1)).otherwise(F.lit(0))
+        for j in range(PAIR_BITS)
+    ]
+    bands = []
+    for b in range(PAIR_BANDS):
+        val = F.lit(0)
+        for i in range(BITS_PER_BAND):
+            val = val + bits[b * BITS_PER_BAND + i] * F.lit(2**i)
+        bands.append(val.cast("int"))
+    return F.array(*bands)
+
+
+def lsh_near_dup_pairs(emb: DataFrame, threshold: float = NEAR_DUP_COS, dim: int = 64) -> DataFrame:
+    """Embedding near-dup pairs at scale: banded hyperplane-LSH candidate
+    generation + exact cosine verify — the minhash-LSH shape for vectors.
+
+    NO all-pairs join anywhere: signatures are one corpus pass; candidates
+    come from a shuffle join on (band_id, band_key) (linear in corpus +
+    bucket collisions); only candidate pairs pay the exact cosine. Recall
+    <1 by design (~0.985 at the default threshold — add bands to raise it);
+    same output shape as :func:`near_dup_pairs`, which remains the exact
+    small-scale cross-check (see test_lsh_near_dup_subset_of_exact).
+
+    100TB notes: hot buckets (near-constant embeddings) skew the band join —
+    AQE skew-join splitting is on by default (session.py), and PAIR_BANDS /
+    BITS_PER_BAND trade recall vs bucket size. The pair-distinct and the
+    verify joins shuffle by vec_id — bounded by candidate volume, not n²."""
+    sig = _spread(emb).select(
+        "vec_id", _band_array_expr(F.col("embedding"), dim).alias("bands")
+    )
+    ex = sig.select("vec_id", F.posexplode("bands").alias("band_id", "band_key"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()  # a pair may collide in several bands — verify once
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cos_sim", F.round(cosine("va", "vb"), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+def _band_key_sql(vec_expr: str, dim: int, band: int) -> str:
+    hps = hyperplanes(dim, PAIR_BITS)
+    terms = []
+    for i in range(BITS_PER_BAND):
+        j = band * BITS_PER_BAND + i
+        arr = "[" + ",".join(f"{x!r}" for x in hps[j]) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_expr}::DOUBLE[], {arr}) > 0 THEN {2**i} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def lsh_near_dup_pairs_sql(dim: int = 64) -> str:
+    bands = ", ".join(_band_key_sql("embedding", dim, b) for b in range(PAIR_BANDS))
+    return f"""
+WITH sig AS (SELECT vec_id, [{bands}] AS bands FROM embeddings),
+ex AS (SELECT vec_id, t.range AS band_id, bands[t.range + 1] AS band_key
+       FROM sig, range(0, {PAIR_BANDS}) t),
+cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         FROM ex a JOIN ex b
+           ON a.band_id = b.band_id AND a.band_key = b.band_key
+          AND a.vec_id < b.vec_id)
+SELECT vec_a, vec_b,
+       round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS cos_sim
+FROM cand
+JOIN embeddings ea ON ea.vec_id = vec_a
+JOIN embeddings eb ON eb.vec_id = vec_b
+WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) >= {NEAR_DUP_COS}
 """
 
 

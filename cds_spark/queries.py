@@ -706,6 +706,16 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs(load(spark, sf_dir, "embeddings"))
 
 
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for embedding near-dup: banded hyperplane-LSH
+    candidates + exact verify — no all-pairs/cartesian join in the plan
+    (asserted by test_plans). q_embedding_near_dup stays as the exact
+    small-scale baseline, like ngram-jaccard vs minhash."""
+    from cds_spark.operators.similarity import lsh_near_dup_pairs
+
+    return lsh_near_dup_pairs(load(spark, sf_dir, "embeddings"))
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cds_spark.operators.textstats import quality_scores
 
@@ -792,6 +802,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash_signatures": q_simhash_signatures,
     "dedup_simhash_near_pairs": q_simhash_near_pairs,
     "dedup_embedding_cosine": q_embedding_near_dup,
+    "dedup_embedding_lsh": q_embedding_near_dup_lsh,
     "ann_cosine_topk": q_ann_topk,
     "ann_cosine_topk_lsh": q_ann_topk_lsh,
     "text_quality_scores": q_text_quality,
@@ -833,6 +844,7 @@ def _training_oracles() -> dict[str, str]:
         "dedup_simhash_signatures": textdedup.SIMHASH_SIG_SQL,
         "dedup_simhash_near_pairs": textdedup.SIMHASH_PAIRS_SQL,
         "dedup_embedding_cosine": similarity.NEAR_DUP_SQL,
+        "dedup_embedding_lsh": similarity.lsh_near_dup_pairs_sql(),
         "ann_cosine_topk": similarity.BRUTE_TOPK_SQL,
         "ann_cosine_topk_lsh": similarity.lsh_bucketed_topk_sql(),
         "text_quality_scores": textstats.QUALITY_SQL,

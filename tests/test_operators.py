@@ -90,6 +90,22 @@ def test_lsh_topk_results_are_true_cosines(spark):
         assert math.isclose(r.cos_sim, round(exact, 6), abs_tol=2e-6)
 
 
+def test_lsh_near_dup_subset_of_exact_with_high_recall(spark):
+    """LSH-mined pairs must be a subset of the exact all-pairs result with
+    identical cosines (verify is exact); banded recall should be high at
+    the operating threshold (~0.985 analytically)."""
+    from cds_spark.operators.similarity import lsh_near_dup_pairs, near_dup_pairs
+
+    emb = _emb(spark)
+    exact = {(r.vec_a, r.vec_b): r.cos_sim for r in near_dup_pairs(emb).collect()}
+    lsh = {(r.vec_a, r.vec_b): r.cos_sim for r in lsh_near_dup_pairs(emb).collect()}
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert abs(exact[k] - v) < 1e-9
+    if exact:
+        assert len(lsh) / len(exact) >= 0.9
+
+
 def test_multimodal_feature_extraction_arrow_path(spark):
     from cds_spark.operators.multimodal import extract_features, synth_media
 

@@ -46,3 +46,15 @@ def test_lww_current_state_prunes_props(spark):
 def test_dedup_exact_reads_two_columns(spark):
     plan = _plan(spark, "dedup_exact")
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_lsh_near_dup_has_no_allpairs_join(spark):
+    """The embedding near-dup SCALE path must generate candidates by
+    equi-join on band keys — never a cartesian / nested-loop all-pairs
+    join (which the exact baseline near_dup_pairs deliberately is)."""
+    plan = _plan(spark, "dedup_embedding_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the exact baseline IS all-pairs (vec_a < vec_b non-equi condition)
+    baseline = _plan(spark, "dedup_embedding_cosine")
+    assert "BroadcastNestedLoopJoin" in baseline or "CartesianProduct" in baseline
