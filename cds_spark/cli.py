@@ -134,8 +134,12 @@ def cmd_status(args) -> int:
     if os.path.isdir(lineage_dir):
         tails = {}
         for fn in sorted(os.listdir(lineage_dir)):
-            with open(os.path.join(lineage_dir, fn)) as f:
-                lines = f.readlines()
+            # bounded tail (64KB): status must stay O(1), not O(job lifetime)
+            # — a long-running sync job's jsonl grows without bound
+            path = os.path.join(lineage_dir, fn)
+            with open(path, "rb") as f:
+                f.seek(max(0, os.path.getsize(path) - 65536))
+                lines = f.read().decode(errors="replace").splitlines()
             # a live sync job may be mid-append: take the last PARSEABLE line
             for line in reversed(lines):
                 try:
@@ -160,8 +164,12 @@ def cmd_compact(args) -> int:
     from cds_spark.lake.table import LakeTable
 
     table = LakeTable.load(_spark(args), args.root)
-    table.compact(purge_tombstones=args.purge_tombstones)
-    print(json.dumps({"root": table.root, "version": table.version}))
+    done = table.compact(
+        max_generations=args.max_generations,
+        purge_tombstones=args.purge_tombstones,
+    )
+    print(json.dumps({"root": table.root, "version": table.version,
+                      "buckets_rewritten": len(done)}))
     return 0
 
 
@@ -216,6 +224,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("compact", help="rewrite buckets; optionally purge tombstones")
     common(sp)
     sp.add_argument("--purge-tombstones", action="store_true")
+    sp.add_argument("--max-generations", type=int, default=None,
+                    help="incremental: rewrite only buckets above this many "
+                         "row generations (default: all buckets)")
     sp.set_defaults(fn=cmd_compact)
     return p
 

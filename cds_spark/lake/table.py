@@ -336,7 +336,9 @@ class LakeTable:
         return self.read(live_only=True, with_meta=False)
 
     # ------------------------------------------------------------- write
-    def _write_txn(self, df: DataFrame, txn_name: str, n_partitions: int) -> list[dict]:
+    def _write_txn(
+        self, df: DataFrame, txn_name: str, n_partitions: int, collapsed: bool = False
+    ) -> list[dict]:
         """Write df (must contain ``_bucket``) partitioned by bucket under a
         fresh txn dir; return manifest file entries.
 
@@ -376,6 +378,10 @@ class LakeTable:
                             "path": os.path.join(txn_rel, bdir, fname),
                             "bucket": b,
                             "schema_id": self.manifest["schema_id"],
+                            # provenance for per-bucket maintenance: True when
+                            # this txn applied the LWW collapse (compact /
+                            # upsert merge / collapsed append batch)
+                            "collapsed": bool(collapsed),
                         }
                     )
         return entries
@@ -387,7 +393,8 @@ class LakeTable:
             return MergeStats(skipped=True, version=self.version)
         src = self._with_meta_defaults(df).withColumn("_bucket", self._bucket_expr())
         shuffle_n = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        entries = self._write_txn(src, self._txn_name(), shuffle_n)
+        # bootstrap snapshots carry one row per key by contract -> collapsed
+        entries = self._write_txn(src, self._txn_name(), shuffle_n, collapsed=True)
         m = self._next_manifest({"operation": "overwrite"})
         m["files"] = entries
         if fence:
@@ -454,16 +461,19 @@ class LakeTable:
         # absorbs intra-batch duplicates, so the fast path is a single
         # shuffle (the reference likewise wrote an in-batch merge and
         # disabled it — cmd/rtu/handle/parse.go:267 "note not use")
-        if not precollapsed and (
+        batch_collapsed = precollapsed or (
             mode != "append" or self.properties.get("append_inbatch_collapse", False)
-        ):
+        )
+        if not precollapsed and batch_collapsed:
             src = lww_collapse(src, self.pk, self.version_cols)
         src = src.withColumn("_bucket", self._bucket_expr())
 
         if mode == "append":
             # one pass: collapse + bucket + write; bucket stats read back
             # from the written files (no extra job over the source)
-            entries = self._write_txn(src, self._txn_name(), self._n_write_parts())
+            entries = self._write_txn(
+                src, self._txn_name(), self._n_write_parts(), collapsed=batch_collapsed
+            )
             touched = sorted({e["bucket"] for e in entries})
             m = self._next_manifest(
                 {"operation": "append-merge", "touched_buckets": len(touched)}
@@ -496,7 +506,7 @@ class LakeTable:
                 target.unionByName(src), self.pk, self.version_cols
             )
             n_parts = max(1, min(len(touched), self._n_write_parts()))
-            entries = self._write_txn(merged, self._txn_name(), n_parts)
+            entries = self._write_txn(merged, self._txn_name(), n_parts, collapsed=True)
             m = self._next_manifest(
                 {
                     "operation": "merge",
@@ -526,15 +536,75 @@ class LakeTable:
         return int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     # -------------------------------------------------------- maintenance
-    def compact(self, purge_tombstones: bool = False) -> None:
-        """Rewrite all buckets to one file set (bin-packing analog); with
-        ``purge_tombstones`` physically drops deleted rows (safe once the
-        feed can no longer replay versions older than the tombstone)."""
-        df = self.read(live_only=False, with_meta=True).withColumn("_bucket", self._bucket_expr())
+    def bucket_generations(self) -> dict[int, int]:
+        """Row generations per bucket = distinct write txns contributing
+        files to it (derived from the manifest — no extra metadata).
+        Append-mode merges add one generation per touched bucket per batch."""
+        gens: dict[int, set[str]] = {}
+        for f in self.manifest["files"]:
+            txn = f["path"].split(os.sep)[1] if os.sep in f["path"] else f["path"]
+            gens.setdefault(int(f["bucket"]), set()).add(txn)
+        return {b: len(t) for b, t in gens.items()}
+
+    def _dirty_buckets(self) -> set[int]:
+        """Buckets NOT fully collapsed on disk: more than one generation,
+        or any file written without the LWW collapse (an uncollapsed append
+        batch can hold several versions of a key within ONE generation)."""
+        gens = self.bucket_generations()
+        uncollapsed = {
+            int(f["bucket"]) for f in self.manifest["files"] if not f.get("collapsed")
+        }
+        return {b for b, g in gens.items() if g > 1} | uncollapsed
+
+    def compact(
+        self,
+        buckets: Sequence[int] | None = None,
+        max_generations: int | None = None,
+        purge_tombstones: bool = False,
+    ) -> list[int]:
+        """Rewrite buckets to one generation each (the ClickHouse background
+        part-merge analog — but INCREMENTAL, never a forced whole-table job):
+
+        - ``buckets``: explicit subset to rewrite;
+        - ``max_generations``: rewrite only buckets exceeding this many
+          generations (the steady-state maintenance call — a micro-batch
+          that touched 3 buckets leads to a 3-bucket compact);
+        - neither: all buckets (full rewrite, small tables only — at 100TB
+          a single-job full rewrite is not runnable, which is exactly why
+          the subset paths exist).
+
+        ``purge_tombstones`` physically drops deleted rows in the rewritten
+        buckets (safe once the feed can no longer replay versions older
+        than the tombstone). Returns the buckets rewritten."""
+        gens = self.bucket_generations()
+        uncollapsed = {
+            int(f["bucket"]) for f in self.manifest["files"] if not f.get("collapsed")
+        }
+        # effective generations: an uncollapsed file set can hide several
+        # versions of a key inside ONE txn, so it counts one extra
+        eff = {b: g + (1 if b in uncollapsed else 0) for b, g in gens.items()}
+        if buckets is not None:
+            sel = sorted(int(b) for b in buckets)
+        elif max_generations is not None:
+            sel = sorted(b for b, g in eff.items() if g > max_generations)
+        else:
+            sel = sorted(gens)
+        if not sel:
+            return []
+        df = self.read(buckets=sel, live_only=False, with_meta=True).withColumn(
+            "_bucket", self._bucket_expr()
+        )
         if purge_tombstones:
             df = df.filter(~F.col(IS_DELETE))
-        entries = self._write_txn(df, self._txn_name("-compact"), self._n_write_parts())
-        m = self._next_manifest({"operation": "compact", "purged": purge_tombstones})
-        m["files"] = entries
-        m["properties"]["needs_collapse"] = False  # one generation per bucket again
+        n_parts = max(1, min(len(sel), self._n_write_parts()))
+        entries = self._write_txn(df, self._txn_name("-compact"), n_parts, collapsed=True)
+        m = self._next_manifest(
+            {"operation": "compact", "purged": purge_tombstones, "buckets": len(sel)}
+        )
+        sel_set = set(sel)
+        m["files"] = [f for f in self.manifest["files"] if f["bucket"] not in sel_set] + entries
+        # reads may skip the LWW window only once NO bucket is dirty
+        # (rewritten buckets are now single-generation collapsed)
+        m["properties"]["needs_collapse"] = bool(self._dirty_buckets() - sel_set)
         self._commit(m)
+        return sel

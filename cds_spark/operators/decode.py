@@ -61,7 +61,12 @@ def _norm_op(col):
     return mapping[col]
 
 
-def _finish(df: DataFrame, partition_col: str | None, offset_col: str | None) -> DataFrame:
+def _finish(
+    df: DataFrame,
+    partition_col: str | None,
+    offset_col: str | None,
+    keep_cols: Sequence[str] = (),
+) -> DataFrame:
     if offset_col is None:
         # A monotonically_increasing_id() fallback would be partition-layout-
         # dependent and change across restarts — replays would NOT converge
@@ -76,6 +81,7 @@ def _finish(df: DataFrame, partition_col: str | None, offset_col: str | None) ->
         "exists",
         part.cast("long").alias("_partition"),
         off.cast("long").alias("_offset"),
+        *[F.col(c) for c in keep_cols],
     )
 
 
@@ -314,6 +320,7 @@ def decode_feed(
     partition_col: str | None = "partition",
     offset_col: str | None = "offset",
     inject: dict[str, str] | None = None,
+    keep_cols: Sequence[str] = (),
 ) -> DataFrame:
     """The fixture F2 feed (FIXTURES.md): op given, payload = flat JSON
     after-image for c/u, key-only for d — a simplified Debezium envelope.
@@ -321,7 +328,10 @@ def decode_feed(
     ``inject`` maps data keys to envelope columns merged under the payload
     (payload wins on conflict — requires mapKeyDedupPolicy=LAST_WIN, set by
     :func:`cds_spark.session.get_spark`). Used to carry the envelope version
-    column (``commit``) into delete events whose payload is key-only."""
+    column (``commit``) into delete events whose payload is key-only.
+
+    ``keep_cols`` passes raw envelope columns through (e.g. ``payload`` for
+    the fused schema-evolution discovery — one decode scan per batch)."""
     p = df.withColumn("op", _norm_op(F.col(op_col))).filter(F.col("op").isNotNull())
     p = p.withColumn("data", F.from_json(F.col(payload_col), MAP_SS))
     if inject:
@@ -332,7 +342,7 @@ def decode_feed(
             "data", F.when(F.col("data").isNotNull(), F.map_concat(env, F.col("data")))
         )
     p = p.withColumn("exists", F.map_keys(F.col("data")))
-    return _finish(p, partition_col, offset_col)
+    return _finish(p, partition_col, offset_col, keep_cols)
 
 
 def decode_feed_arrow(

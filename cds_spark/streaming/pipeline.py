@@ -66,41 +66,47 @@ class JobSpec:
     kafka_max_offsets_per_trigger: int = 30000
 
 
-def discover_and_evolve(table: LakeTable, batch: DataFrame, payload_col: str = "payload") -> list[str]:
-    """Per-batch schema evolution (parse.go:169-265): find payload keys not
-    in the table schema, infer each new column's type from the first event
-    carrying it (JSON value typing, parse.go:190-207), ALTER ADD COLUMN.
+def discover_and_evolve(
+    table: LakeTable, events: DataFrame, payload_col: str = "payload"
+) -> list[str]:
+    """Per-batch schema evolution (parse.go:169-265), FUSED with decode:
+    new keys come from the already-parsed ``data`` map of the decoded
+    events (decode_feed(keep_cols=[payload])), not a second
+    json_object_keys scan of every payload — previously each micro-batch
+    paid an extra decode-weight pass plus one ``first()`` job per new
+    column just to find columns that are rare by construction.
 
-    Returns the added column names. JVM-side key scan; per-new-column one
-    small driver-side sample (new columns are rare by construction)."""
+    ONE job total: unknown-key explode -> groupBy(key).first(payload);
+    types inferred driver-side from the sampled raw payload (JSON value
+    typing, parse.go:190-207: int->long, fraction->double, str->string,
+    nested->json string). ALTER ADD COLUMN, return added names."""
     import pyspark.sql.types as T
 
-    known = {f.name for f in table.schema.fields}
-    keys = (
-        batch.select(F.explode(F.json_object_keys(F.col(payload_col))).alias("k"))
-        .filter(~F.col("k").isin(*known))
-        .distinct()
+    known = [f.name for f in table.schema.fields]
+    unknown_keys = F.filter(
+        F.map_keys(F.col("data")), lambda k: ~k.isin(*known)
+    )
+    samples = (
+        events.select(F.col(payload_col).alias("_p"), unknown_keys.alias("_ks"))
+        .filter(F.size("_ks") > 0)
+        .select("_p", F.explode("_ks").alias("k"))
+        .groupBy("k")
+        .agg(F.first("_p", ignorenulls=True).alias("sample"))
         .collect()
     )
-    new_names = sorted(r["k"] for r in keys)
-    if not new_names:
+    if not samples:
         return []
     fields = []
-    for name in new_names:
-        sample = (
-            batch.filter(F.get_json_object(F.col(payload_col), f"$.{name}").isNotNull())
-            .select(payload_col)
-            .first()
-        )
+    for r in sorted(samples, key=lambda r: r["k"]):
         dt = T.StringType()
-        if sample is not None:
+        if r["sample"] is not None:
             try:
-                dt = infer_json_type(json.loads(sample[0]).get(name))
+                dt = infer_json_type(json.loads(r["sample"]).get(r["k"]))
             except (ValueError, TypeError):
                 pass
-        fields.append(T.StructField(name, dt, True))
+        fields.append(T.StructField(r["k"], dt, True))
     table.alter_add_columns(fields)
-    return new_names
+    return [f.name for f in fields]
 
 
 class IncrementalSync:
@@ -124,31 +130,42 @@ class IncrementalSync:
             rec = {"batch_id": batch_id, "skipped": True, "ts": time.time()}
             self._append_lineage(rec)
             return rec
-        if self.spec.evolve_schema:
-            added = discover_and_evolve(table, batch)
-        else:
-            added = []
-        events = decode_feed(batch, inject=self.spec.version_inject)
-        rows, dlq = events_to_rows(events, table.schema, table.pk)
-        # per-partition lineage BEFORE merge collapses rows (one small agg)
-        lineage_rows = [
-            r.asDict()
-            for r in rows.groupBy("_partition")
-            .agg(
-                F.count("*").alias("n_events"),
-                F.min("_offset").alias("min_offset"),
-                F.max("_offset").alias("max_offset"),
+        # decode ONCE per micro-batch; persist so the evolution probe, the
+        # lineage agg, the DLQ split and the merge all reuse the parsed
+        # events instead of re-scanning the feed (micro-batches are bounded
+        # by maxFilesPerTrigger/maxOffsetsPerTrigger, so this is small)
+        events = decode_feed(
+            batch, inject=self.spec.version_inject, keep_cols=("payload",)
+        ).persist()
+        try:
+            if self.spec.evolve_schema:
+                added = discover_and_evolve(table, events)
+            else:
+                added = []
+            rows, dlq = events_to_rows(events, table.schema, table.pk)
+            # per-partition lineage BEFORE merge collapses rows (one small agg)
+            lineage_rows = [
+                r.asDict()
+                for r in rows.groupBy("_partition")
+                .agg(
+                    F.count("*").alias("n_events"),
+                    F.min("_offset").alias("min_offset"),
+                    F.max("_offset").alias("max_offset"),
+                )
+                .collect()
+            ]
+            n_dlq = 0
+            if self.spec.dlq_dir:
+                dlq_out = dlq.withColumn("_batch_id", F.lit(batch_id)).persist()
+                n_dlq = dlq_out.count()
+                if n_dlq:
+                    dlq_out.write.mode("append").parquet(self.spec.dlq_dir)
+                dlq_out.unpersist()
+            stats = table.merge(
+                rows, fence=(self.spec.job_id, batch_id), mode=self.spec.merge_mode
             )
-            .collect()
-        ]
-        n_dlq = 0
-        if self.spec.dlq_dir:
-            dlq_out = dlq.withColumn("_batch_id", F.lit(batch_id)).persist()
-            n_dlq = dlq_out.count()
-            if n_dlq:
-                dlq_out.write.mode("append").parquet(self.spec.dlq_dir)
-            dlq_out.unpersist()
-        stats = table.merge(rows, fence=(self.spec.job_id, batch_id), mode=self.spec.merge_mode)
+        finally:
+            events.unpersist()
         rec = {
             "job_id": self.spec.job_id,
             "batch_id": batch_id,

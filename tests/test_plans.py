@@ -48,6 +48,33 @@ def test_dedup_exact_reads_two_columns(spark):
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
 
 
+def test_pipeline_decodes_feed_once_per_batch(spark):
+    """process_batch persists the decoded events; every downstream job
+    (evolution probe, lineage agg, DLQ, merge) must plan against the cache
+    (InMemoryTableScan), never re-scan + re-decode the feed."""
+    from cds_spark.operators.decode import decode_feed, events_to_rows
+    from cds_spark.sources.feed import REPO_SCHEMA, change_feed
+
+    feed = change_feed(spark, 60, n_repos=2, paths_per_repo=3, seed=1)
+    events = decode_feed(
+        feed, inject={"commit": "commit"}, keep_cols=("payload",)
+    ).persist()
+    try:
+        events.count()  # materialize the cache
+        rows, dlq = events_to_rows(events, REPO_SCHEMA, ["repo", "path"])
+        for df in (rows, dlq):
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            plan = buf.getvalue()
+            # the leaf is the materialized cache: Spark serves rows from it
+            # and never re-runs the decode child plan (which explain still
+            # PRINTS as the cache's definition — that text is not execution)
+            assert "InMemoryTableScan" in plan
+    finally:
+        events.unpersist()
+
+
 def test_lsh_near_dup_has_no_allpairs_join(spark):
     """The embedding near-dup SCALE path must generate candidates by
     equi-join on band keys — never a cartesian / nested-loop all-pairs

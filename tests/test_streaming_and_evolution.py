@@ -194,6 +194,49 @@ def test_compact_purges_tombstones(spark, tmp_path):
     assert table.current().count() == live
 
 
+def test_incremental_compact_rewrites_only_touched_buckets(spark, tmp_path):
+    """compact(max_generations=N) must rewrite ONLY multi-generation
+    buckets: a batch touching one bucket leads to a one-bucket compact —
+    at 100TB a whole-table rewrite is not runnable."""
+    table = _mk_table(spark, tmp_path, n_buckets=8)
+    # in-batch collapse on: batch-1 buckets land collapsed (clean), so the
+    # incremental selector has a meaningful clean/dirty split to preserve
+    table.set_properties({"merge_mode": "append", "append_inbatch_collapse": True})
+    feed = change_feed(spark, 400, n_repos=5, paths_per_repo=10, seed=13)
+    events = decode_feed(feed, inject={"commit": "commit"})
+    rows, _ = events_to_rows(events, table.schema, table.pk)
+    table.merge(rows)
+    assert set(table.bucket_generations().values()) == {1}
+    # a second tiny batch touching ONE key -> exactly one bucket gains a gen
+    one = rows.orderBy("_offset").limit(1).withColumn(
+        "_offset", F.col("_offset") + 100_000
+    )
+    table.merge(one)
+    gens = table.bucket_generations()
+    multi = [b for b, g in gens.items() if g > 1]
+    assert len(multi) == 1
+    before = sorted(
+        (r.repo, r.path, r.content or "") for r in table.read(live_only=False).collect()
+    )
+    untouched_paths = {
+        f["path"] for f in table.manifest["files"] if f["bucket"] not in multi
+    }
+    done = table.compact(max_generations=1)
+    assert done == multi
+    assert table.manifest["summary"]["buckets"] == 1
+    # untouched buckets carried forward by reference, not rewritten
+    assert {
+        f["path"] for f in table.manifest["files"] if f["bucket"] not in multi
+    } == untouched_paths
+    assert set(table.bucket_generations().values()) == {1}
+    assert not table.properties["needs_collapse"]
+    after = sorted(
+        (r.repo, r.path, r.content or "") for r in table.read(live_only=False).collect()
+    )
+    assert after == before
+    assert table.compact(max_generations=1) == []  # steady state: no-op
+
+
 def test_time_travel_and_history(spark, tmp_path):
     table = _mk_table(spark, tmp_path)
     f1 = change_feed(spark, 300, n_repos=5, paths_per_repo=10, seed=5)
