@@ -80,16 +80,26 @@ def cmd_create_table(args) -> int:
 
 
 def cmd_bootstrap(args) -> int:
-    from cds_spark.streaming.pipeline import bootstrap
+    from cds_spark.streaming.pipeline import bootstrap, bootstrap_jdbc
 
     spark = _spark(args)
-    src = spark.read.parquet(args.source)
-    table = bootstrap(
-        spark, src, args.root,
-        pk=args.pk.split(","),
-        version_cols=args.version_cols.split(","),
-        n_buckets=args.buckets,
-    )
+    if args.jdbc_url:
+        table = bootstrap_jdbc(
+            spark, args.jdbc_url, args.jdbc_table or args.source, args.root,
+            pk=args.pk.split(","),
+            version_cols=args.version_cols.split(","),
+            n_buckets=args.buckets,
+        )
+    elif args.source:
+        src = spark.read.parquet(args.source)
+        table = bootstrap(
+            spark, src, args.root,
+            pk=args.pk.split(","),
+            version_cols=args.version_cols.split(","),
+            n_buckets=args.buckets,
+        )
+    else:
+        raise SystemExit("bootstrap needs --source (parquet) or --jdbc-url")
     print(json.dumps({"root": table.root, "version": table.version,
                       "rows": table.current().count()}))
     return 0
@@ -192,9 +202,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--merge-mode", choices=["append", "upsert"], default="append")
     sp.set_defaults(fn=cmd_create_table)
 
-    sp = sub.add_parser("bootstrap", help="full sync: snapshot parquet -> table")
+    sp = sub.add_parser("bootstrap", help="full sync: parquet snapshot or live JDBC -> table")
     common(sp)
-    sp.add_argument("--source", required=True, help="source parquet path")
+    sp.add_argument("--source", default=None, help="source parquet path")
+    sp.add_argument("--jdbc-url", default=None,
+                    help="live-source mode: JDBC url (driver jar via spark-submit --jars)")
+    sp.add_argument("--jdbc-table", default=None, help="source table name for --jdbc-url")
     sp.add_argument("--pk", required=True)
     sp.add_argument("--version-cols", required=True)
     sp.add_argument("--buckets", type=int, default=64)

@@ -358,23 +358,33 @@ def decode_feed_arrow(
     pandas/Arrow UDFs; the reference chose its JSON decoder by micro-benchmark
     too, parse_test.go:78-94).
 
-    Semantically identical to decode_feed (asserted by test); measured ~3.7x
-    slower than JVM ``from_json`` at 32 cores / 2M events (3.0s vs 11.1s
+    Semantically identical to decode_feed (asserted by test, including
+    numeric-token preservation and nested values); measured ~3.7x slower
+    than JVM ``from_json`` at 32 cores / 2M events (3.0s vs 11.1s
     steady-state) because every payload byte crosses the JVM<->Arrow
-    boundary, so the JVM path is the default and
-    this is the template for dialects ``from_json`` cannot express (e.g.
-    polymorphic envelopes needing real code). Batch-level ``json.loads``
-    loop — no per-row Python UDF calls, one Arrow batch per GIL
-    acquisition."""
+    boundary, so the JVM path is the default and this is the template for
+    dialects ``from_json`` cannot express (e.g. polymorphic envelopes
+    needing real code). Batch-level parse loop — no per-row Python UDF
+    calls, one Arrow batch per GIL acquisition.
+
+    Value rendering matches from_json(map<string,string>) exactly — which
+    (verified empirically) is Jackson RE-SERIALIZATION, not raw source
+    text: float tokens normalize via Java Double.toString ('1.50'->'1.5',
+    12345678.5->'1.2345678E7' — replicated by _java_double_str), int
+    tokens keep full precision (BigInteger), booleans are 'true'/'false',
+    strings unescape, null stays null, nested objects/arrays re-serialize
+    compactly (caveat: floats INSIDE nested values use Python repr, which
+    diverges from Java formatting only at |x| >= 1e7). Null partition ->
+    null, null offset -> null (same as the JVM cast) — one malformed
+    envelope row must not fail the whole Arrow batch."""
     import json as _json
     from collections.abc import Iterator
 
     import pandas as pd
 
     if offset_col is None:
-        # the JVM path falls back to monotonically_increasing_id; a pandas
-        # batch-local index would collide across batches/partitions and
-        # break the LWW version tiebreaker — require a real offset column
+        # a pandas batch-local index would collide across batches/partitions
+        # and break the LWW version tiebreaker — require a real offset column
         raise ValueError("decode_feed_arrow requires offset_col (unique per event)")
     inject = dict(inject or {})
     out_schema = T.StructType(
@@ -390,13 +400,137 @@ def decode_feed_arrow(
     inj_keys = list(inject.items())
 
     def _to_str(v):
-        # match from_json(map<string,string>) JSON scalar rendering:
-        # null stays null, booleans are 'true'/'false', numbers via str()
+        # envelope (typed) columns injected under the payload: match the
+        # JVM cast-to-string rendering
         if v is None:
             return None
         if isinstance(v, bool):
             return "true" if v else "false"
         return str(v)
+
+    def _java_double_str(x: float) -> str:
+        """Java Double.toString: plain decimal in [1e-3, 1e7), else
+        'd.dddEn' scientific (no '+', capital E); shortest round-trip
+        digits (same digit selection as Python repr)."""
+        import math
+        from decimal import Decimal
+
+        if math.isnan(x):
+            return "NaN"
+        if math.isinf(x):
+            return "Infinity" if x > 0 else "-Infinity"
+        if x == 0.0:
+            return "0.0" if math.copysign(1.0, x) > 0 else "-0.0"
+        m = abs(x)
+        if 1e-3 <= m < 1e7:
+            s = repr(x)
+            if "." not in s:
+                s += ".0"
+            return s
+        sign, digits, exp = Decimal(repr(x)).as_tuple()
+        digs = "".join(map(str, digits)).rstrip("0") or "0"
+        e = len(digits) + exp - 1
+        mant = digs[0] + "." + (digs[1:] or "0")
+        return ("-" if sign else "") + mant + "E" + str(e)
+
+    def _raw_items(s: str) -> list | None:
+        """Top-level (key, rendered_value) pairs of a JSON object with
+        from_json(map<string,string>) parity (see docstring). Returns None
+        for malformed input / non-objects."""
+        n = len(s)
+
+        def ws(i):
+            while i < n and s[i] in " \t\r\n":
+                i += 1
+            return i
+
+        def scan_string(j):
+            j += 1
+            while j < n:
+                if s[j] == "\\":
+                    j += 2
+                    continue
+                if s[j] == '"':
+                    return j + 1
+                j += 1
+            raise ValueError("unterminated string")
+
+        def scan_value(j):
+            c = s[j]
+            if c == '"':
+                return scan_string(j)
+            if c in "{[":
+                depth = 0
+                while j < n:
+                    c2 = s[j]
+                    if c2 == '"':
+                        j = scan_string(j)
+                        continue
+                    if c2 in "{[":
+                        depth += 1
+                    elif c2 in "}]":
+                        depth -= 1
+                        if depth == 0:
+                            return j + 1
+                    j += 1
+                raise ValueError("unterminated container")
+            k = j
+            while k < n and s[k] not in ",}] \t\r\n":
+                k += 1
+            if k == j:
+                raise ValueError("empty value")
+            return k
+
+        try:
+            i = ws(0)
+            if i >= n or s[i] != "{":
+                return None
+            i = ws(i + 1)
+            items: list = []
+            if i < n and s[i] == "}":
+                return items if s[i + 1:].strip() == "" else None
+            while True:
+                i = ws(i)
+                if i >= n or s[i] != '"':
+                    raise ValueError("expected key")
+                j = scan_string(i)
+                key = _json.loads(s[i:j])
+                i = ws(j)
+                if i >= n or s[i] != ":":
+                    raise ValueError("expected colon")
+                i = ws(i + 1)
+                if i >= n:
+                    raise ValueError("missing value")
+                j = scan_value(i)
+                rawv = s[i:j]
+                if rawv.startswith('"'):
+                    items.append((key, _json.loads(rawv)))
+                elif rawv == "null":
+                    items.append((key, None))
+                elif rawv[0] in "{[":
+                    items.append(
+                        (key, _json.dumps(_json.loads(rawv),
+                                          separators=(",", ":"), ensure_ascii=False))
+                    )
+                else:
+                    v = _json.loads(rawv)  # validate + type the scalar token
+                    if isinstance(v, bool):
+                        items.append((key, "true" if v else "false"))
+                    elif isinstance(v, int):
+                        items.append((key, str(v)))  # BigInteger: full digits
+                    elif isinstance(v, float):
+                        items.append((key, _java_double_str(v)))
+                    else:
+                        items.append((key, rawv))
+                i = ws(j)
+                if i < n and s[i] == ",":
+                    i += 1
+                    continue
+                if i < n and s[i] == "}":
+                    return items if s[i + 1:].strip() == "" else None
+                raise ValueError("expected , or }")
+        except ValueError:
+            return None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -408,22 +542,19 @@ def decode_feed_arrow(
                 if op is None:
                     continue
                 raw = pdf[payload_col].iloc[i]
-                try:
-                    doc = _json.loads(raw) if raw is not None else None
-                except ValueError:
-                    doc = None
-                if not isinstance(doc, dict):
-                    doc = None  # non-object JSON -> undecodable, like from_json
-                if doc is not None:
+                items = _raw_items(raw) if isinstance(raw, str) else None
+                if items is not None:
                     data = {k: _to_str(pdf[src].iloc[i]) for k, src in inj_keys}
-                    data.update({k: _to_str(v) for k, v in doc.items()})
+                    data.update(items)  # duplicate keys: last wins (LAST_WIN)
                 else:
                     data = None
+                p = part_src.iloc[i] if part_src is not None else 0
+                o = off_src.iloc[i]
                 ops.append(op)
                 datas.append(data)
                 exists.append(list(data.keys()) if data is not None else None)
-                parts.append(int(part_src.iloc[i]) if part_src is not None else 0)
-                offs.append(int(off_src.iloc[i]))
+                parts.append(int(p) if (part_src is None or pd.notna(p)) else None)
+                offs.append(int(o) if pd.notna(o) else None)
             yield pd.DataFrame(
                 {"op": ops, "data": datas, "exists": exists,
                  "_partition": parts, "_offset": offs}

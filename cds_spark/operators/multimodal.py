@@ -112,6 +112,8 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
             yield out
 
     # repartition by media hash: balanced Arrow batches regardless of how
-    # the source files were laid out
-    balanced = media.repartition(F.pmod(F.xxhash64("media_id"), F.lit(32)))
+    # the source files were laid out; width follows cluster parallelism
+    # (never a hardcoded count — 32 would cap a 1000-executor cluster)
+    n = media.sparkSession.sparkContext.defaultParallelism
+    balanced = media.repartition(F.pmod(F.xxhash64("media_id"), F.lit(n)))
     return balanced.mapInPandas(run, FEATURE_SCHEMA)

@@ -768,10 +768,40 @@ FROM documents
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Arrow-batched mapInPandas feature-extraction path (stub decoder).
-    No SQL oracle (Python stage) — driver records rows-only."""
+    No SQL oracle for the full row (feat_mean is a Python-side float chain)
+    — driver records rows-only; the deterministic columns are hash-checked
+    via q_multimodal_features_digest."""
     from cds_spark.operators.multimodal import extract_features, synth_media
 
     return extract_features(synth_media(load(spark, sf_dir, "documents")))
+
+
+def q_multimodal_features_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ORACLE-CHECKED slice of the Python feature path: n_bytes /
+    digest / n_frames_sampled are deterministic functions of the payload
+    bytes, so the mapInPandas output is hash-compared against pure SQL —
+    proving the Arrow plumbing (batch shape, binary transfer, schema)
+    delivers exactly the source bytes to Python."""
+    from cds_spark.operators.multimodal import extract_features, synth_media
+
+    feats = extract_features(synth_media(load(spark, sf_dir, "documents")))
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        "digest",
+        F.col("n_frames_sampled").cast("long").alias("n_frames_sampled"),
+    )
+
+
+ORACLE_MULTIMODAL_DIGEST = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS digest,
+       CAST(octet_length(encode(text)) % 7 + 1 AS BIGINT) AS n_frames_sampled
+FROM documents
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -811,6 +841,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprints": q_fingerprints,
     "multimodal_manifest": q_multimodal_manifest,
     "multimodal_features": q_multimodal_features,
+    "multimodal_features_digest": q_multimodal_features_digest,
 }
 
 ORACLES: dict[str, str] = {
@@ -853,6 +884,8 @@ def _training_oracles() -> dict[str, str]:
         "text_fingerprints": textstats.FINGERPRINT_SQL,
         "multimodal_manifest": ORACLE_MULTIMODAL,
         # multimodal_features: Python mapInPandas stage — rows-only check
+        # (feat_mean); its deterministic slice is hash-checked below
+        "multimodal_features_digest": ORACLE_MULTIMODAL_DIGEST,
     }
 
 

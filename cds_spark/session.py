@@ -15,6 +15,8 @@ local[32] sandbox:
 from __future__ import annotations
 
 import os
+import shutil
+import subprocess
 
 from pyspark.sql import SparkSession
 
@@ -56,6 +58,35 @@ _DEFAULTS = {
 }
 
 
+def _ensure_fast_local_fs(jvm_dir: str) -> bool:
+    """Compile FastLocalFileSystem.java against the LOCAL JDK on first use
+    (no committed binary: a checked-in .class targets one bytecode level —
+    e.g. 61/Java 17 — and on an older runtime every file op would die with
+    UnsupportedClassVersionError instead of falling back). A class compiled
+    here always matches the running JVM. Returns False (plain
+    RawLocalFileSystem fallback) when javac or the source is unavailable."""
+    cls = os.path.join(jvm_dir, "FastLocalFileSystem.class")
+    if os.path.exists(cls):
+        return True
+    src = os.path.join(jvm_dir, "FastLocalFileSystem.java")
+    javac = shutil.which("javac") or os.path.join(
+        os.environ.get("JAVA_HOME", ""), "bin", "javac"
+    )
+    if not (os.path.exists(src) and os.path.exists(javac)):
+        return False
+    try:
+        import pyspark
+
+        jars = os.path.join(os.path.dirname(os.path.abspath(pyspark.__file__)), "jars", "*")
+        subprocess.run(
+            [javac, "-cp", jars, "-d", jvm_dir, src],
+            check=True, capture_output=True, timeout=120,
+        )
+    except Exception:
+        return False
+    return os.path.exists(cls)
+
+
 def get_spark(
     app_name: str = "cds-spark",
     cores: int | None = None,
@@ -82,7 +113,7 @@ def get_spark(
     # shell-outs no-opped — each one is a fork whose cost scales with JVM RSS
     # in this sandbox (~3.5s of fixed cost per micro-batch measured without it)
     jvm_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "jvm")
-    if os.path.exists(os.path.join(jvm_dir, "FastLocalFileSystem.class")):
+    if _ensure_fast_local_fs(jvm_dir):
         conf["spark.driver.extraClassPath"] = jvm_dir
         conf["spark.hadoop.fs.file.impl"] = "FastLocalFileSystem"
     if extra_conf:

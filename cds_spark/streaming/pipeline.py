@@ -109,6 +109,33 @@ def discover_and_evolve(
     return [f.name for f in fields]
 
 
+def parse_kafka_envelope(raw: DataFrame) -> DataFrame:
+    """Kafka wire record -> normalized F2 feed envelope.
+
+    ``raw`` has the spark-sql-kafka columns (key/value binary, topic,
+    partition, offset, ...). The value bytes carry the feed-envelope JSON,
+    but Kafka's OWN partition/offset replace the envelope's — they are the
+    real lineage + LWW-tiebreak coordinates (the reference likewise tracks
+    kafka partition/offset, pkg/tube/kfks.go:97-181), and a producer-side
+    envelope offset could repeat across topics/retries.
+
+    Pure function of a DataFrame so the mapping is contract-testable
+    without a broker (test_kafka_envelope_contract); ``_reader`` feeds it
+    the real readStream."""
+    parsed = raw.withColumn(
+        "env", F.from_json(F.col("value").cast("string"), FEED_SCHEMA)
+    )
+    return parsed.select(
+        F.col("env.op").alias("op"),
+        F.col("env.repo").alias("repo"),
+        F.col("env.path").alias("path"),
+        F.col("env.commit").alias("commit"),
+        F.col("offset").alias("offset"),
+        F.col("env.payload").alias("payload"),
+        F.col("partition").cast("int").alias("partition"),
+    )
+
+
 class IncrementalSync:
     """Owns one job's foreachBatch loop + lineage/metrics sidecar."""
 
@@ -213,18 +240,7 @@ class IncrementalSync:
                     "spark-submit --packages "
                     "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>"
                 ) from e
-            parsed = raw.withColumn(
-                "env", F.from_json(F.col("value").cast("string"), FEED_SCHEMA)
-            )
-            return parsed.select(
-                F.col("env.op").alias("op"),
-                F.col("env.repo").alias("repo"),
-                F.col("env.path").alias("path"),
-                F.col("env.commit").alias("commit"),
-                F.col("offset").alias("offset"),
-                F.col("env.payload").alias("payload"),
-                F.col("partition").cast("int").alias("partition"),
-            )
+            return parse_kafka_envelope(raw)
         return (
             self.spark.readStream.schema(FEED_SCHEMA)
             .option("maxFilesPerTrigger", self.spec.max_files_per_trigger)
@@ -248,6 +264,66 @@ class IncrementalSync:
         (Trigger.AvailableNow) — the primary test/replay entry."""
         q = self.start(trigger_once=True)
         q.awaitTermination()
+
+
+def jdbc_keyset_scan(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str,
+    num_partitions: int | None = None,
+    properties: dict | None = None,
+) -> DataFrame:
+    """Parallel JDBC snapshot scan — the Spark analog of the reference's
+    SERIAL keyset pagination (``WHERE pk > ? ORDER BY pk LIMIT 20000``,
+    cmd/dm/data/mysql2clickhouse.go:31-119): one MIN/MAX bounds probe,
+    then ``numPartitions`` range-partitioned readers each scanning a pk
+    stride server-side (Spark pushes ``pk >= lo AND pk < hi`` per task).
+    Where the reference pages one window at a time per job, every stride
+    here streams concurrently — same server-side index walk, N-way.
+
+    Requires the source's JDBC driver jar on the classpath
+    (``spark-submit --jars mysql-connector-j.jar``); the option mapping is
+    contract-tested without a driver (test_jdbc_bootstrap_contract)."""
+    props = dict(properties or {})
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    pc = partition_column
+    bounds_q = f"(SELECT MIN({pc}) AS lo, MAX({pc}) AS hi FROM {table}) cds_bounds"
+    b = spark.read.jdbc(url, bounds_q, properties=props).collect()[0]
+    lo, hi = b["lo"], b["hi"]
+    if lo is None or hi is None or int(lo) == int(hi):
+        return spark.read.jdbc(url, table, properties=props)
+    return spark.read.jdbc(
+        url,
+        table,
+        column=pc,
+        lowerBound=int(lo),
+        upperBound=int(hi) + 1,  # Spark's upperBound is exclusive
+        numPartitions=n,
+        properties=props,
+    )
+
+
+def bootstrap_jdbc(
+    spark: SparkSession,
+    url: str,
+    source_table: str,
+    table_root: str,
+    pk: list[str],
+    version_cols: list[str],
+    n_buckets: int = 64,
+    num_partitions: int | None = None,
+    properties: dict | None = None,
+) -> LakeTable:
+    """dm full sync straight from a live RDBMS: parallel keyset scan ->
+    lake table overwrite (cmd/dm/cmd/sync/dm.go:33-106). The first PK
+    column drives the range partitioning (the reference's keyset column)."""
+    src = jdbc_keyset_scan(
+        spark, url, source_table, pk[0], num_partitions, properties
+    )
+    return bootstrap(
+        spark, src, table_root, pk=pk, version_cols=version_cols, n_buckets=n_buckets
+    )
 
 
 def bootstrap(

@@ -29,6 +29,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -68,7 +69,14 @@ def _monitor(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[p
     rows = []
     for pdf in pdfs:
         n_events += len(pdf)
-        rows.extend((c, int(o)) for c, o in zip(pdf["commit"], pdf["offset"]))
+        # belt-and-braces: a corrupt feed line can surface as null commit/
+        # offset even past the source-side filter; sorting None against str
+        # (or int(NaN)) would kill the whole streaming query
+        rows.extend(
+            (c, int(o))
+            for c, o in zip(pdf["commit"], pdf["offset"])
+            if c is not None and pd.notna(o)
+        )
     for commit, offset in sorted(rows):
         if (commit, offset) <= (max_commit, max_offset):
             n_stale += 1
@@ -97,6 +105,15 @@ def staleness_monitor(events: DataFrame) -> DataFrame:
     staleness stream (append mode)."""
     return (
         events.select("repo", "path", "commit", "offset")
+        # a corrupt JSON line yields an all-null row from the file source;
+        # null keys/versions have no meaningful staleness and would crash
+        # the version sort inside the state fn — drop them at the source
+        .filter(
+            F.col("repo").isNotNull()
+            & F.col("path").isNotNull()
+            & F.col("commit").isNotNull()
+            & F.col("offset").isNotNull()
+        )
         .groupBy("repo", "path")
         .applyInPandasWithState(
             _monitor,

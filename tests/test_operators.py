@@ -255,6 +255,14 @@ def test_decode_debezium_mongo_dialect(spark):
     assert out[7].data == {"numberLong": "5"}  # reference's $-strip behavior
 
 
+def _decode_canon(rows):
+    return sorted(
+        (r["op"], tuple(sorted((r["data"] or {}).items())),
+         tuple(sorted(r["exists"] or [])), r["_partition"], r["_offset"])
+        for r in rows
+    )
+
+
 def test_arrow_decode_matches_jvm_decode(spark):
     from cds_spark.operators.decode import decode_feed, decode_feed_arrow
     from cds_spark.sources.feed import change_feed
@@ -262,12 +270,40 @@ def test_arrow_decode_matches_jvm_decode(spark):
     feed = change_feed(spark, 400, n_repos=6, paths_per_repo=9, seed=21)
     jvm = decode_feed(feed, inject={"commit": "commit"}).collect()
     arrow = decode_feed_arrow(feed, inject={"commit": "commit"}).collect()
+    assert _decode_canon(jvm) == _decode_canon(arrow)
 
-    def canon(rows):
-        return sorted(
-            (r["op"], tuple(sorted((r["data"] or {}).items())),
-             tuple(sorted(r["exists"] or [])), r["_partition"], r["_offset"])
-            for r in rows
-        )
 
-    assert canon(jvm) == canon(arrow)
+def test_arrow_decode_parity_on_adversarial_payloads(spark):
+    """Non-canonical producers: numeric tokens render like the JVM's
+    Jackson re-serialization (Java Double.toString: '1.50'->'1.5',
+    12345678.5->'1.2345678E7'; big ints keep full digits), nested
+    objects/arrays render as compact JSON, booleans/nulls match from_json,
+    and null partition/offset rows flow through (null meta, not a dead
+    Arrow batch)."""
+    from cds_spark.operators.decode import decode_feed, decode_feed_arrow
+
+    rows = [
+        ("c", "a", '{"x": 1.50, "y": "s", "n": null, "b": true}', 0, 1),
+        ("u", "b", '{"nested": { "a" : 1.5 , "l": [1, "two", null] }}', 0, 2),
+        ("u", "c", '{"big": 12345678901234567890, "neg": -0.0, "e": 1.5e3}', 0, 3),
+        ("d", "d", '{"dup": 1, "dup": 2}', 0, 4),
+        ("c", "e", "not json at all", 0, 5),
+        ("c", "f", '[1,2,3]', 0, 6),
+        ("c", "g", '{"k": "v"}', None, 7),  # null partition
+        ("c", "h", '{}', 1, 8),
+        ("zzz", "i", '{"k":"v"}', 0, 9),  # op not whitelisted -> dropped
+        ("u", "j", '{"sci": 12345678.5, "tiny": 0.0001, "exp": 1e20}', 0, 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "op string, commit string, payload string, partition int, offset long"
+    )
+    jvm = decode_feed(df, inject={"commit": "commit"}).collect()
+    arrow = decode_feed_arrow(df, inject={"commit": "commit"}).collect()
+    assert _decode_canon(jvm) == _decode_canon(arrow)
+    by_off = {r["_offset"]: r for r in arrow}
+    assert by_off[1].data["x"] == "1.5"  # Jackson-normalized, both paths
+    assert by_off[1].data["b"] == "true" and by_off[1].data["n"] is None
+    assert by_off[3].data["big"] == "12345678901234567890"
+    assert by_off[5].data is None and by_off[6].data is None
+    assert by_off[7]._partition is None
+    assert by_off[10].data["sci"] == "1.23456785E7"  # Java sci threshold 1e7

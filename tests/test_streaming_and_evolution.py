@@ -194,6 +194,77 @@ def test_compact_purges_tombstones(spark, tmp_path):
     assert table.current().count() == live
 
 
+def test_jdbc_bootstrap_contract(spark, tmp_path, monkeypatch):
+    """JDBC full sync without a driver jar: fake DataFrameReader.jdbc
+    records the calls — the bounds probe must run first, then the data
+    read must be range-partitioned on the PK with the probed bounds
+    (exclusive upper), and the rows must land in the lake table."""
+    from pyspark.sql.readwriter import DataFrameReader
+
+    from cds_spark.streaming.pipeline import bootstrap_jdbc
+
+    snapshot = spark.createDataFrame(
+        [(i, f"name-{i}", float(i)) for i in range(1, 51)],
+        "id long, name string, val double",
+    )
+    bounds = spark.createDataFrame([(1, 50)], "lo long, hi long")
+    calls = []
+
+    def fake_jdbc(self, url, table, column=None, lowerBound=None,
+                  upperBound=None, numPartitions=None, properties=None):
+        calls.append({"url": url, "table": table, "column": column,
+                      "lowerBound": lowerBound, "upperBound": upperBound,
+                      "numPartitions": numPartitions})
+        return bounds if "cds_bounds" in table else snapshot
+
+    monkeypatch.setattr(DataFrameReader, "jdbc", fake_jdbc)
+    table = bootstrap_jdbc(
+        spark, "jdbc:mysql://db:3306/sit", "example_mysql",
+        str(tmp_path / "jt"), pk=["id"], version_cols=["_offset"],
+        n_buckets=8, num_partitions=4,
+    )
+    assert len(calls) == 2
+    assert "SELECT MIN(id) AS lo, MAX(id) AS hi FROM example_mysql" in calls[0]["table"]
+    assert calls[1] == {"url": "jdbc:mysql://db:3306/sit", "table": "example_mysql",
+                        "column": "id", "lowerBound": 1, "upperBound": 51,
+                        "numPartitions": 4}
+    assert table.current().count() == 50
+
+
+def test_kafka_envelope_contract(spark):
+    """Recorded wire records through the kafka->feed mapping (no broker):
+    Kafka's OWN partition/offset must become the lineage/LWW coordinates
+    (pkg/tube/kfks.go:97-181) — the envelope's are producer-side and may
+    repeat — and the mapped feed must flow through decode_feed unchanged."""
+
+    from cds_spark.streaming.pipeline import parse_kafka_envelope
+
+    def wire(op, path, commit, kafka_part, kafka_off, payload):
+        env = {"op": op, "repo": "org/a", "path": path, "commit": commit,
+               "offset": 999_999, "partition": 77,  # envelope coords: must LOSE
+               "payload": json.dumps(payload)}
+        return (b"k", json.dumps(env).encode(), "t", kafka_part, kafka_off)
+
+    rows = [
+        wire("c", "f.py", "000001", 2, 1000,
+             {"repo": "org/a", "path": "f.py", "lang": "py", "content": "x"}),
+        wire("d", "g.py", "000002", 0, 17, {"repo": "org/a", "path": "g.py"}),
+    ]
+    raw = spark.createDataFrame(
+        rows, "key binary, value binary, topic string, partition int, offset long"
+    )
+    feed = {r.offset: r for r in parse_kafka_envelope(raw).collect()}
+    assert sorted(feed) == [17, 1000]  # kafka offsets, not 999999
+    assert feed[1000].partition == 2 and feed[17].partition == 0
+    assert feed[1000].op == "c" and feed[1000].commit == "000001"
+    # and the mapped feed is a valid decode_feed input end-to-end
+    events = {e._offset: e for e in decode_feed(
+        parse_kafka_envelope(raw), inject={"commit": "commit"}
+    ).collect()}
+    assert events[1000].data["content"] == "x" and events[1000].data["commit"] == "000001"
+    assert events[17].op == "d" and events[17]._partition == 0
+
+
 def test_incremental_compact_rewrites_only_touched_buckets(spark, tmp_path):
     """compact(max_generations=N) must rewrite ONLY multi-generation
     buckets: a batch touching one bucket leads to a one-bucket compact —
