@@ -41,6 +41,7 @@ HEADLINE = [
     "decode_debezium_mysql",
     "decode_canal_batch",
     "decode_connector_mongo",
+    "decode_debezium_mongo",
     "cdc_lww_columnwise",
     "cdc_change_rate",
     "dedup_exact",
@@ -48,6 +49,7 @@ HEADLINE = [
     "revenue_by_nation",
     "top_orders_per_customer",
     "dedup_minhash_lsh",
+    "dedup_embedding_lsh",
     "dedup_simhash_signatures",
     "ann_cosine_topk",
     "ann_cosine_topk_lsh",
@@ -55,6 +57,7 @@ HEADLINE = [
     "text_token_counts",
     "text_fingerprints",
     "multimodal_features",
+    "multimodal_features_digest",
 ]
 
 

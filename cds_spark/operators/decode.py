@@ -582,33 +582,75 @@ def events_to_rows(
       NULL; reads can substitute type defaults) — parse.go:150-157.
     - dlq: events rejected for missing PK (parse.go:141-144,
       insert.go:13-14) or undecodable payload.
+
+    Physical shape (hard-won; see test_plans + the bench): the raw value
+    and exists-flag of every column are evaluated ONCE per row inside a
+    struct emitted through ``explode(array(struct))`` — a Generate node.
+    The Generate is the load-bearing optimization barrier, twice over:
+
+    - CollapseProject + SimplifyExtractValueOps would otherwise inline the
+      map lookups / array_contains into EVERY reference the coercion makes
+      (~8 per column; measured 4-8x slower replay), and inline the
+      CodegenFallback from_json into the same projection (killing
+      whole-stage codegen for the entire decode+coerce stage);
+    - predicate pushdown substitutes deterministic filters through every
+      Project regardless of cost (a pushed DLQ-split filter re-built the
+      whole decode chain ~50x inside one interpreted Filter), but CANNOT
+      push a predicate referencing generator output below the Generate.
+
+    Net plan: [decode from_json once] -> Generate -> codegen'd coercion
+    projection over O(1) struct-field reads -> split filter evaluated on
+    materialized values.
     """
     from cds_spark.schema import coerce
 
-    # one select: typed table columns (NULL when the event didn't carry the
-    # column — the exists mask gates coercion so absent != empty-string) +
-    # meta columns. Whole plan stays in a single codegen stage.
+    fields = table_schema.fields
+    packed = F.struct(
+        *[F.col("data").getItem(f.name).alias(f"v{i}") for i, f in enumerate(fields)],
+        *[
+            F.array_contains(F.col("exists"), f.name).alias(f"h{i}")
+            for i, f in enumerate(fields)
+        ],
+        F.col("data").isNotNull().alias("ok"),
+    )
+    staged = events.select(
+        F.col("op"),
+        F.col("_partition"),
+        F.col("_offset"),
+        F.col("data").alias("_raw"),
+        # array(struct) always has exactly one element, so explode is a
+        # 1:1 row mapping — it exists purely as the optimization barrier
+        F.explode(F.array(packed)).alias("__e"),
+    )
     sel = [
-        F.when(
-            F.array_contains(F.col("exists"), f.name),
-            coerce(F.col("data").getItem(f.name), f.dataType),
-        )
+        F.when(F.col(f"__e.h{i}"), coerce(F.col(f"__e.v{i}"), f.dataType))
         .otherwise(F.lit(None).cast(f.dataType))
         .alias(f.name)
-        for f in table_schema.fields
+        for i, f in enumerate(fields)
     ]
-    full = events.select(
+    # PK presence is checked on the RAW event values (the reference tests
+    # the wire event, parse.go:141-144, not the coerced row) — also keeps
+    # the split filter to O(1) struct-field reads instead of re-running
+    # the coercion trees inside the predicate
+    idx = {f.name: i for i, f in enumerate(fields)}
+    keep = F.coalesce(F.col("__e.ok"), F.lit(False))
+    for k in pk:
+        i = idx[k]
+        keep = (
+            keep
+            & F.coalesce(F.col(f"__e.h{i}"), F.lit(False))
+            & F.col(f"__e.v{i}").isNotNull()
+            & (F.col(f"__e.v{i}") != "")
+        )
+    full = staged.select(
         *sel,
         F.col("op").alias("_op"),
         (F.col("op") == "d").alias("_is_delete"),
         F.col("_partition"),
         F.col("_offset"),
-        F.col("data").alias("_raw"),
+        keep.alias("__keep"),
+        F.col("_raw"),
     )
-    pk_ok = F.lit(True)
-    for k in pk:
-        pk_ok = pk_ok & F.col(k).isNotNull() & (F.col(k).cast("string") != "")
-    decoded_ok = F.col("_raw").isNotNull()
-    dlq = full.filter(~(pk_ok & decoded_ok))
-    good = full.filter(pk_ok & decoded_ok).drop("_raw")
+    dlq = full.filter(~F.col("__keep")).drop("__keep")
+    good = full.filter(F.col("__keep")).drop("__keep", "_raw")
     return good, dlq

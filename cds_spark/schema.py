@@ -93,29 +93,57 @@ TIME_LAYOUTS = [
 
 _MAP_SS = T.MapType(T.StringType(), T.StringType())
 
+# Mongo extended-JSON wrapper unwrapping, HOT-PATH EDITION. Coercion runs
+# once per column per event, squarely on the ingest path — and
+# from_json/JsonToStructs is a CodegenFallback expression: a first cut that
+# parsed wrappers with from_json left 142 fallback nodes in the
+# events_to_rows plan, knocked the whole projection out of whole-stage
+# codegen, and cost 13x on the 2M-event replay (26.5s vs 2s). The wrapper
+# grammar is tiny and closed ({"$oid": h}, {"$numberX": n}, {"$date":
+# ms|iso|{"$numberLong": ms}}), so anchored regexp_extract (fully
+# codegen'd, pattern compiled once) replaces the JSON parser here; the
+# real decoders still use from_json where a full parse is genuinely needed.
+_OID_RE = r'^\s*\{\s*"\$oid"\s*:\s*"([^"]*)"\s*\}\s*$'
+_NUM_RE = r'^\s*\{\s*"\$number(?:Long|Int|Double|Decimal)"\s*:\s*"?([-+0-9.eE]+)"?\s*\}\s*$'
+#: groups: 1 = ISO string, 2 = plain number (ms), 3 = nested $numberLong (ms)
+_DATE_RE = (
+    r'^\s*\{\s*"\$date"\s*:\s*(?:"([^"]*)"|(-?[0-9]+(?:\.[0-9]+)?)'
+    r'|\{\s*"\$numberLong"\s*:\s*"?(-?[0-9]+)"?\s*\})\s*\}\s*$'
+)
 
-def _ext(s: Column, key: str) -> Column:
-    """Value of key inside a Mongo extended-JSON wrapper object, else NULL.
-    Guarded by a cheap startswith so plain scalars never pay the from_json."""
-    return F.when(s.startswith("{"), F.element_at(F.from_json(s, _MAP_SS), key))
+
+def _rx(s: Column, pattern: str, idx: int) -> Column:
+    """regexp_extract with no-match/'' normalized to NULL."""
+    return F.nullif(F.regexp_extract(s, pattern, idx), F.lit(""))
+
+
+def _guarded(s: Column, col: Column) -> Column:
+    """Cheap prefix gate: ordinary values never reach the regex."""
+    return F.when(s.startswith("{"), col)
+
+
+def _oid_token(s: Column) -> Column:
+    return _guarded(s, _rx(s, _OID_RE, 1))
+
+
+def _date_ms_token(s: Column) -> Column:
+    """Numeric epoch-ms token of a ``$date`` wrapper (plain or
+    $numberLong-nested form)."""
+    return _guarded(s, F.coalesce(_rx(s, _DATE_RE, 2), _rx(s, _DATE_RE, 3)))
+
+
+def _date_iso_token(s: Column) -> Column:
+    return _guarded(s, _rx(s, _DATE_RE, 1))
 
 
 def _ext_num_token(s: Column) -> Column:
-    """Numeric token inside Mongo extended JSON: ``{"$numberLong": "n"}``,
-    ``{"$numberInt"|"$numberDouble"|"$numberDecimal": ...}`` and
-    ``{"$date": ms}`` (possibly ``{"$date": {"$numberLong": "ms"}}``) —
-    reference connectormongomodel.go:127-167 converts exactly these during
-    value coercion; without the unwrap a ``$date`` object would silently
-    coerce to the epoch default (wrong timestamps for every Mongo source)."""
-    date_raw = _ext(s, "$date")
-    date_tok = F.coalesce(_ext(date_raw, "$numberLong"), date_raw)
-    return F.coalesce(
-        _ext(s, "$numberLong"),
-        _ext(s, "$numberInt"),
-        _ext(s, "$numberDouble"),
-        _ext(s, "$numberDecimal"),
-        date_tok,
-    )
+    """Numeric token inside a Mongo extended-JSON wrapper:
+    ``$numberLong``/``$numberInt``/``$numberDouble``/``$numberDecimal`` and
+    ``$date`` (always epoch-ms) — reference connectormongomodel.go:127-167
+    converts exactly these during value coercion; without the unwrap a
+    ``$date`` object would silently coerce to the epoch default (wrong
+    timestamps for every Mongo source)."""
+    return _guarded(s, F.coalesce(_rx(s, _NUM_RE, 1), _rx(s, _DATE_RE, 2), _rx(s, _DATE_RE, 3)))
 
 
 def lenient_long(c: Column) -> Column:
@@ -146,21 +174,16 @@ def lenient_timestamp(c: Column) -> Column:
     s = c.cast("string")
     as_long = s.try_cast("long")
     candidates = [F.try_to_timestamp(s, F.lit(fmt)) for fmt in TIME_LAYOUTS]
-    date_raw = _ext(s, "$date")
-    date_tok = F.coalesce(_ext(date_raw, "$numberLong"), date_raw)
     # $date is ALWAYS epoch-ms when numeric (no ms-vs-s heuristic), else ISO
-    date_ts = F.when(
-        date_tok.isNotNull(),
-        F.coalesce(
-            F.timestamp_millis(date_tok.try_cast("long")),
-            *[F.try_to_timestamp(date_tok, F.lit(fmt)) for fmt in TIME_LAYOUTS],
-        ),
+    date_ms = _date_ms_token(s)
+    date_iso = _date_iso_token(s)
+    date_ts = F.coalesce(
+        F.timestamp_millis(date_ms.try_cast("long")),
+        *[F.try_to_timestamp(date_iso, F.lit(fmt)) for fmt in TIME_LAYOUTS],
     )
     # plain epoch ints, incl. {"$numberLong"/"$numberInt": "n"} wrappers
     # (the reference converts those to int before its time dispatch)
-    num = F.coalesce(
-        as_long, F.coalesce(_ext(s, "$numberLong"), _ext(s, "$numberInt")).try_cast("long")
-    )
+    num = F.coalesce(as_long, _guarded(s, _rx(s, _NUM_RE, 1)).try_cast("long"))
     epoch_like = F.when(
         num.isNotNull(),
         F.when(F.abs(num) >= F.lit(10**12), F.timestamp_millis(num)).otherwise(
@@ -177,7 +200,7 @@ def lenient_string(c: Column) -> Column:
     # wrappers -> their token (the reference converts $date/$numberLong to
     # int for every key before type dispatch, so a string column sees the
     # number's text); other JSON objects stay raw JSON text (json.Marshal)
-    return F.coalesce(_ext(s, "$oid"), _ext_num_token(s), s, F.lit(""))
+    return F.coalesce(_oid_token(s), _ext_num_token(s), s, F.lit(""))
 
 
 def coerce(c: Column, dt: T.DataType, lenient: bool = True) -> Column:
