@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cds_spark.functions import cosine
-from cds_spark.operators.textdedup import _spread
+from cds_spark.operators.textdedup import _guard_quadratic, _spread
 
 N_QUERIES = 5  # vec_id < N_QUERIES are the query vectors
 TOP_K = 10
@@ -81,13 +81,15 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
 """
 
 
-def near_dup_pairs(emb: DataFrame, threshold: float = NEAR_DUP_COS) -> DataFrame:
+def near_dup_pairs(emb: DataFrame, threshold: float = NEAR_DUP_COS, force: bool = False) -> DataFrame:
     """All vector pairs with cosine >= threshold (embedding near-dup).
 
     O(n²) BY CONSTRUCTION — the correct-by-definition small-scale baseline
     (the exact-Jaccard analog of ngram_jaccard_pairs). NEVER a production
     path at scale: use :func:`lsh_near_dup_pairs`, whose banded candidate
-    generation is linear in corpus size."""
+    generation is linear in corpus size. Refuses inputs above
+    ORACLE_PAIR_CAP rows unless ``force``."""
+    _guard_quadratic(emb, "near_dup_pairs", "lsh_near_dup_pairs", force)
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
     return (

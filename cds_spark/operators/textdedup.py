@@ -44,6 +44,30 @@ MINHASH_B = [_rng.randrange(0, MINHASH_P) for _ in range(N_HASHES)]
 
 SIMHASH_BITS = 32
 
+#: hard cap for the O(n²)-by-construction exact baselines. They exist to
+#: oracle-check the LSH scale paths at small scale; above this many rows the
+#: pair space (cap²/2 ≈ 2·10⁸) stops being a "small-scale baseline" and the
+#: guard refuses rather than silently launching a cartesian-shaped job.
+ORACLE_PAIR_CAP = 20_000
+
+
+def _guard_quadratic(df: DataFrame, what: str, scale_alt: str, force: bool) -> None:
+    """Refuse to run an all-pairs baseline on more than ORACLE_PAIR_CAP rows.
+
+    One cheap count() against an O(n²) join is free insurance: it makes the
+    exact baselines impossible to adopt as a production path by accident
+    (VERDICT r1 scale-killer #4). ``force=True`` is the explicit escape
+    hatch for deliberate offline verification runs."""
+    if force:
+        return
+    n = df.count()
+    if n > ORACLE_PAIR_CAP:
+        raise ValueError(
+            f"{what} is O(n²) by construction and capped at "
+            f"{ORACLE_PAIR_CAP} rows (got {n}). Use {scale_alt} at scale, "
+            f"or pass force=True for a deliberate offline verification run."
+        )
+
 
 def _spread(df: DataFrame, factor: int = 1, force: bool = False) -> DataFrame:
     """Ensure heavy per-row compute doesn't inherit a 1-task layout.
@@ -113,10 +137,12 @@ _SHINGLES_SQL = f"""
 # ---------------------------------------------------------------------------
 
 
-def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
+def ngram_jaccard_pairs(docs: DataFrame, force: bool = False) -> DataFrame:
     """All pairs with shingle-set Jaccard >= threshold, via pairwise
     array_intersect on collected shingle sets. O(n²) by construction —
-    correct-by-definition baseline; use minhash_lsh_pairs at scale."""
+    correct-by-definition baseline; use minhash_lsh_pairs at scale.
+    Refuses inputs above ORACLE_PAIR_CAP rows unless ``force``."""
+    _guard_quadratic(docs, "ngram_jaccard_pairs", "minhash_lsh_pairs", force)
     sets = shingles(docs).groupBy("doc_id").agg(
         F.sort_array(F.collect_set("s")).alias("sset")
     )

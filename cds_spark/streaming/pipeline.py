@@ -304,12 +304,67 @@ def jdbc_keyset_scan(
     )
 
 
+def _source_type_to_spark(sql_type: str):
+    """The reference's 4-way source-type lattice
+    (cmd/dm/util/mysqltypeconv.go:128-141: contains "int" -> Int,
+    decimal/double/float -> Float, date/time -> Time, else String),
+    landed on Spark types. Substring rules, like the reference, so vendor
+    variants (bigint unsigned, datetime(6), tinytext) map without a
+    per-vendor table."""
+    from pyspark.sql import types as T
+
+    t = sql_type.lower()
+    if "int" in t:
+        return T.LongType()
+    if "decimal" in t or "double" in t or "float" in t:
+        return T.DoubleType()
+    if "date" in t or "time" in t:
+        return T.TimestampType()
+    return T.StringType()
+
+
+def introspect_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict | None = None,
+):
+    """Live source introspection — the Spark analog of the reference's
+    ``DESC `table``` probe (cmd/dm/util/mysqltypeconv.go:44-72): one JDBC
+    read of information_schema.columns yields (name, type, key, ordinal);
+    names map through the reference's type lattice into a lake StructType
+    in source ordinal order, and COLUMN_KEY='PRI' columns (ordinal order,
+    like the reference's pks index map) become the primary key.
+
+    Returns ``(StructType, pk: list[str])``. information_schema is ANSI —
+    the same probe works on MySQL, MariaDB, Postgres (COLUMN_KEY absent
+    there -> empty pk, caller supplies one). Contract-tested without a
+    driver jar (test_jdbc_introspect_contract)."""
+    from pyspark.sql import types as T
+
+    safe = table.replace("'", "''")
+    q = (
+        "(SELECT column_name AS col, column_type AS typ, column_key AS pri, "
+        "ordinal_position AS pos FROM information_schema.columns "
+        f"WHERE table_name = '{safe}') cds_desc"
+    )
+    rows = sorted(
+        spark.read.jdbc(url, q, properties=dict(properties or {})).collect(),
+        key=lambda r: int(r["pos"]),
+    )
+    if not rows:
+        raise ValueError(f"introspect_jdbc: source table {table!r} has no columns")
+    fields = [T.StructField(r["col"], _source_type_to_spark(r["typ"] or "")) for r in rows]
+    pk = [r["col"] for r in rows if (r["pri"] or "").upper() == "PRI"]
+    return T.StructType(fields), pk
+
+
 def bootstrap_jdbc(
     spark: SparkSession,
     url: str,
     source_table: str,
     table_root: str,
-    pk: list[str],
+    pk: list[str] | None,
     version_cols: list[str],
     n_buckets: int = 64,
     num_partitions: int | None = None,
@@ -317,7 +372,15 @@ def bootstrap_jdbc(
 ) -> LakeTable:
     """dm full sync straight from a live RDBMS: parallel keyset scan ->
     lake table overwrite (cmd/dm/cmd/sync/dm.go:33-106). The first PK
-    column drives the range partitioning (the reference's keyset column)."""
+    column drives the range partitioning (the reference's keyset column).
+    ``pk=None`` introspects the primary key from the source's
+    information_schema (the reference's DESC-driven auto-DDL path)."""
+    if not pk:
+        _, pk = introspect_jdbc(spark, url, source_table, properties)
+        if not pk:
+            raise ValueError(
+                f"bootstrap_jdbc: source {source_table!r} exposes no PRI columns; pass pk="
+            )
     src = jdbc_keyset_scan(
         spark, url, source_table, pk[0], num_partitions, properties
     )

@@ -307,3 +307,30 @@ def test_arrow_decode_parity_on_adversarial_payloads(spark):
     assert by_off[5].data is None and by_off[6].data is None
     assert by_off[7]._partition is None
     assert by_off[10].data["sci"] == "1.23456785E7"  # Java sci threshold 1e7
+
+
+def test_quadratic_baselines_refuse_large_inputs(spark):
+    """The O(n²) exact baselines must refuse above ORACLE_PAIR_CAP rows
+    (VERDICT r1: guard the oracle paths so they can't silently become
+    production paths); force=True is the explicit escape hatch."""
+    import pytest
+
+    from cds_spark.operators import textdedup
+    from cds_spark.operators.similarity import near_dup_pairs
+    from cds_spark.operators.textdedup import ngram_jaccard_pairs
+
+    big_docs = spark.range(textdedup.ORACLE_PAIR_CAP + 1).select(
+        F.col("id").alias("doc_id"), F.lit("hello world text").alias("text")
+    )
+    with pytest.raises(ValueError, match="O\\(n²\\).*minhash_lsh_pairs"):
+        ngram_jaccard_pairs(big_docs)
+
+    big_emb = spark.range(textdedup.ORACLE_PAIR_CAP + 1).select(
+        F.col("id").alias("vec_id"), F.array(F.lit(1.0), F.lit(0.0)).alias("embedding")
+    )
+    with pytest.raises(ValueError, match="O\\(n²\\).*lsh_near_dup_pairs"):
+        near_dup_pairs(big_emb)
+
+    # force=True builds the plan without tripping the guard (don't execute it)
+    assert ngram_jaccard_pairs(big_docs.limit(3), force=True).columns == ["doc_a", "doc_b", "jaccard"]
+    assert near_dup_pairs(big_emb.limit(3), force=True).columns == ["vec_a", "vec_b", "cos_sim"]

@@ -231,6 +231,64 @@ def test_jdbc_bootstrap_contract(spark, tmp_path, monkeypatch):
     assert table.current().count() == 50
 
 
+def test_jdbc_introspect_contract(spark, tmp_path, monkeypatch):
+    """Live source introspection without a driver jar: the DESC-equivalent
+    information_schema probe (mysqltypeconv.go:44-72) must map the
+    reference's type lattice (int->long, decimal/double/float->double,
+    date/time->timestamp, else string), order fields by source ordinal,
+    pick PRI columns as PK, and feed bootstrap_jdbc(pk=None)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.readwriter import DataFrameReader
+
+    from cds_spark.streaming.pipeline import bootstrap_jdbc, introspect_jdbc
+
+    # deliberately out of ordinal order, composite PRI, vendor type variants
+    desc = spark.createDataFrame(
+        [
+            ("val", "decimal(10,2)", "", 4),
+            ("id", "bigint unsigned", "PRI", 1),
+            ("note", "tinytext", "", 5),
+            ("seen_at", "datetime(6)", "", 3),
+            ("shard", "int", "PRI", 2),
+        ],
+        "col string, typ string, pri string, pos int",
+    )
+    snapshot = spark.createDataFrame(
+        [(i, i % 3, f"n-{i}") for i in range(1, 21)], "id long, shard long, note string"
+    )
+    bounds = spark.createDataFrame([(1, 20)], "lo long, hi long")
+    calls = []
+
+    def fake_jdbc(self, url, table, column=None, lowerBound=None,
+                  upperBound=None, numPartitions=None, properties=None):
+        calls.append(table)
+        if "information_schema.columns" in table:
+            return desc
+        return bounds if "cds_bounds" in table else snapshot
+
+    monkeypatch.setattr(DataFrameReader, "jdbc", fake_jdbc)
+    schema, pk = introspect_jdbc(spark, "jdbc:mysql://db:3306/sit", "example_mysql")
+    assert pk == ["id", "shard"]  # PRI columns in source ordinal order
+    assert [(f.name, f.dataType) for f in schema.fields] == [
+        ("id", T.LongType()),
+        ("shard", T.LongType()),
+        ("seen_at", T.TimestampType()),
+        ("val", T.DoubleType()),
+        ("note", T.StringType()),
+    ]
+    assert "table_name = 'example_mysql'" in calls[0]
+
+    # pk=None end-to-end: introspect -> keyset scan on first PRI -> lake
+    table = bootstrap_jdbc(
+        spark, "jdbc:mysql://db:3306/sit", "example_mysql",
+        str(tmp_path / "jt2"), pk=None, version_cols=["_offset"],
+        n_buckets=4, num_partitions=2,
+    )
+    assert any("MIN(id)" in c for c in calls)  # first PRI drives the stride
+    assert table.current().count() == 20
+    assert table.pk == ["id", "shard"]
+
+
 def test_kafka_envelope_contract(spark):
     """Recorded wire records through the kafka->feed mapping (no broker):
     Kafka's OWN partition/offset must become the lineage/LWW coordinates
