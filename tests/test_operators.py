@@ -334,3 +334,55 @@ def test_quadratic_baselines_refuse_large_inputs(spark):
     # force=True builds the plan without tripping the guard (don't execute it)
     assert ngram_jaccard_pairs(big_docs.limit(3), force=True).columns == ["doc_a", "doc_b", "jaccard"]
     assert near_dup_pairs(big_emb.limit(3), force=True).columns == ["vec_a", "vec_b", "cos_sim"]
+
+
+def test_fused_decode_matches_two_stage(spark):
+    """decode_feed_rows (struct-parse fast path) must agree with
+    decode_feed + events_to_rows on good rows AND the DLQ split, including
+    adversarial payloads: nested objects, duplicate keys, explicit-null /
+    missing / empty pk, malformed JSON, non-object JSON, extended-JSON
+    wrapped values, numeric literals, non-DML ops, injected commit."""
+    from cds_spark.operators.decode import decode_feed, decode_feed_rows, events_to_rows
+    from cds_spark.sources.feed import REPO_SCHEMA
+
+    rows = [
+        # (op, commit, offset, partition, payload)
+        ("c", "000000000001", 1, 0, '{"repo":"r1","path":"p1","lang":"py","content":"x"}'),
+        ("u", "000000000002", 2, 0, '{"repo":"r1","path":"p1","content":"y"}'),        # partial
+        ("d", "000000000003", 3, 1, '{"repo":"r1","path":"p1"}'),                       # key-only
+        ("u", "000000000004", 4, 1, '{"repo":"r2","path":"p2","commit":"inpayload"}'),  # payload commit wins
+        ("c", "000000000005", 5, 0, '{"repo":"r3","path":"p3","meta":{"a":1}}'),        # nested object extra key
+        ("c", "000000000006", 6, 0, '{"repo":"r4","path":"p4","repo":"r5"}'),           # duplicate key
+        ("c", "000000000007", 7, 0, '{"repo":"r6","path":null}'),                       # explicit-null pk -> DLQ
+        ("c", "000000000008", 8, 0, '{"repo":"r7"}'),                                   # missing pk -> DLQ
+        ("c", "000000000009", 9, 0, '{"repo":"","path":"p"}'),                          # empty pk -> DLQ
+        ("c", "000000000010", 10, 0, "not json"),                                       # malformed -> DLQ
+        ("c", "000000000011", 11, 0, "[1,2]"),                                          # non-object -> DLQ
+        ("TRUNCATE", "000000000012", 12, 0, '{"repo":"r8","path":"p8"}'),               # non-DML dropped
+        ("c", "000000000013", 13, 0,
+         '{"repo":{"$oid":"abc123"},"path":"p9","content":{"$numberLong":"42"}}'),      # ext-JSON
+        ("c", "000000000014", 14, 0, '{"repo":"r9","path":"p10","content":1.50}'),      # numeric literal
+    ]
+    feed = spark.createDataFrame(
+        rows, "op string, commit string, offset long, partition int, payload string"
+    )
+    events = decode_feed(feed, inject={"commit": "commit"})
+    good2, dlq2 = events_to_rows(events, REPO_SCHEMA, ["repo", "path"])
+    good1, dlq1 = decode_feed_rows(feed, REPO_SCHEMA, ["repo", "path"], inject={"commit": "commit"})
+
+    assert good1.columns == good2.columns
+    key = lambda df: sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple((x is None, str(x)) for x in t),
+    )
+    assert key(good1) == key(good2)
+    # DLQ contract: the SAME events are rejected (coerced column views on
+    # rejected rows aren't load-bearing — the reference forwards the raw
+    # message to {topic}-failed — and the explicit-null-pk row hits the
+    # documented null-vs-type-default divergence there)
+    dlq_lineage = lambda df: sorted(
+        (r._offset, r._op, r._is_delete, r._partition) for r in df.collect()
+    )
+    assert dlq_lineage(dlq1) == dlq_lineage(dlq2)
+    # the fused path keeps the verbatim wire payload for the failed-topic
+    assert set(r._raw for r in dlq1.collect()) <= set(p[4] for p in rows)
