@@ -61,6 +61,22 @@ def _norm_op(col):
     return mapping[col]
 
 
+def _materialize(df: DataFrame, keep: Sequence[str], **exprs) -> DataFrame:
+    """Evaluate each expression exactly ONCE per row, emitting the results
+    as plain columns behind an ``explode(array(struct(...)))`` Generate.
+
+    from_json is CodegenFallback: CollapseProject inlines it into every
+    downstream reference, so an envelope struct read N times is an envelope
+    PARSED N times (measured 13x on the feed path, see events_to_rows).
+    The Generate node is the one optimizer barrier projections cannot
+    collapse across and predicates cannot push below; downstream
+    references to these columns become O(1) struct-field reads of the
+    generator output. ``keep`` columns pass through untouched."""
+    packed = F.struct(*[c.alias(k) for k, c in exprs.items()])
+    staged = df.select(*keep, F.explode(F.array(packed)).alias("__once"))
+    return staged.select(*keep, *[F.col(f"__once.{k}").alias(k) for k in exprs])
+
+
 def _finish(
     df: DataFrame,
     partition_col: str | None,
@@ -106,7 +122,7 @@ def decode_canal(
             T.StructField("old", T.ArrayType(MAP_SS)),
         ]
     )
-    p = df.withColumn("_e", F.from_json(F.col(value_col), schema))
+    p = _materialize(df, df.columns, _e=F.from_json(F.col(value_col), schema))
     p = p.withColumn("op", _norm_op(F.col("_e.type"))).filter(F.col("op").isNotNull())
     p = p.select("*", F.posexplode_outer(F.col("_e.data")).alias("_rowpos", "data"))
     p = p.withColumn("exists", F.map_keys(F.coalesce(F.col("data"), F.lit(None).cast(MAP_SS))))
@@ -135,7 +151,7 @@ def decode_debezium_mysql(
             )
         ]
     )
-    p = df.withColumn("_e", F.from_json(F.col(value_col), schema))
+    p = _materialize(df, df.columns, _e=F.from_json(F.col(value_col), schema))
     p = p.withColumn("op", _norm_op(F.col("_e.payload.op"))).filter(F.col("op").isNotNull())
     p = p.withColumn(
         "data",
@@ -183,7 +199,7 @@ def decode_connector_mongo(
             ),
         ]
     )
-    p = df.withColumn("_e", F.from_json(F.col(value_col), schema))
+    p = _materialize(df, df.columns, _e=F.from_json(F.col(value_col), schema))
     p = p.withColumn("op", _norm_op(F.col("_e.operationType"))).filter(F.col("op").isNotNull())
     removed = F.coalesce(
         F.col("_e.updateDescription.removedFields"),
@@ -224,15 +240,28 @@ def _mongoize(m, empty_map):
     boolean- and array-valued fields (no case for them); we keep them as
     strings — strictly more information, and the lenient coercion
     downstream yields the same typed defaults."""
+    return _mongoize_parts(
+        m,
+        F.from_json(F.element_at(m, "$set"), MAP_SS),
+        F.from_json(F.element_at(m, "_id"), MAP_SS),
+        empty_map,
+    )
+
+
+def _mongoize_parts(m, set_obj, id_obj, empty_map):
+    """_mongoize over PRE-PARSED pieces: ``set_obj`` = parsed ``$set``
+    member, ``id_obj`` = parsed ``_id`` member (null unless a JSON object).
+    decode_debezium_mongo materializes those behind a Generate barrier so
+    each nested from_json runs once per row instead of once per
+    reference."""
     base = F.map_filter(
         F.coalesce(m, empty_map), lambda k, _: ~k.isin("$set", "$v", "_id")
     )
     set_m = F.transform_keys(
-        F.coalesce(F.from_json(F.element_at(m, "$set"), MAP_SS), empty_map),
+        F.coalesce(set_obj, empty_map),
         lambda k, _: F.regexp_replace(k, r"[$]", ""),
     )
     id_raw = F.element_at(m, "_id")
-    id_obj = F.from_json(id_raw, MAP_SS)  # null unless _id is a JSON object
     id_m = (
         F.when(
             id_obj.isNotNull(),
@@ -286,29 +315,53 @@ def decode_debezium_mongo(
             )
         ]
     )
-    p = df.withColumn("_e", F.from_json(F.col(value_col), schema))
-    p = p.withColumn("op", _norm_op(F.col("_e.payload.op"))).filter(F.col("op").isNotNull())
-    after_p = F.from_json(F.col("_e.payload.after"), MAP_SS)
-    patch_p = F.from_json(F.col("_e.payload.patch"), MAP_SS)
-    filter_p = F.from_json(F.col("_e.payload.filter"), MAP_SS)
-    after_m = _mongoize(after_p, empty_map)
-    patch_m = _mongoize(patch_p, empty_map)
-    filter_m = _mongoize(filter_p, empty_map)
+    # Three materialization levels (see _materialize): envelope parse,
+    # then the three member-map parses, then the nested $set/_id parses —
+    # every from_json runs once per row, all downstream references are
+    # O(1) struct/attribute reads.
+    keep = list(df.columns)
+    p = _materialize(df, keep, _env=F.from_json(F.col(value_col), schema))
+    p = p.withColumn("op", _norm_op(F.col("_env.payload.op"))).filter(F.col("op").isNotNull())
+    keep = keep + ["op"]
+    p = _materialize(
+        p,
+        keep,
+        _af=F.from_json(F.col("_env.payload.after"), MAP_SS),
+        _pa=F.from_json(F.col("_env.payload.patch"), MAP_SS),
+        _fi=F.from_json(F.col("_env.payload.filter"), MAP_SS),
+    )
+    keep = keep + ["_af", "_pa", "_fi"]
+    p = _materialize(
+        p,
+        keep,
+        _af_set=F.from_json(F.element_at(F.col("_af"), "$set"), MAP_SS),
+        _af_id=F.from_json(F.element_at(F.col("_af"), "_id"), MAP_SS),
+        _pa_set=F.from_json(F.element_at(F.col("_pa"), "$set"), MAP_SS),
+        _pa_id=F.from_json(F.element_at(F.col("_pa"), "_id"), MAP_SS),
+        _fi_set=F.from_json(F.element_at(F.col("_fi"), "$set"), MAP_SS),
+        _fi_id=F.from_json(F.element_at(F.col("_fi"), "_id"), MAP_SS),
+    )
+    after_m = _mongoize_parts(F.col("_af"), F.col("_af_set"), F.col("_af_id"), empty_map)
+    patch_m = _mongoize_parts(F.col("_pa"), F.col("_pa_set"), F.col("_pa_id"), empty_map)
+    filter_m = _mongoize_parts(F.col("_fi"), F.col("_fi_set"), F.col("_fi_id"), empty_map)
     # a missing/unparseable member -> data NULL -> undecodable DLQ split
     # (the reference returns an error from UnmarshalFromString, feeding the
     # {topic}-failed producer); 'u' needs BOTH patch and filter
-    p = p.withColumn(
-        "data",
-        F.when(F.col("op") == "c", F.when(after_p.isNotNull(), after_m))
+    data = (
+        F.when(F.col("op") == "c", F.when(F.col("_af").isNotNull(), after_m))
         .when(
             F.col("op") == "u",
             F.when(
-                patch_p.isNotNull() & filter_p.isNotNull(),
+                F.col("_pa").isNotNull() & F.col("_fi").isNotNull(),
                 F.map_concat(patch_m, filter_m),
             ),
         )
-        .otherwise(F.when(filter_p.isNotNull(), filter_m)),
+        .otherwise(F.when(F.col("_fi").isNotNull(), filter_m))
     )
+    # fourth level: the assembled map itself (referenced by exists AND the
+    # downstream row projection — the map_filter/transform_keys chain is
+    # not free either); drop the intermediate parses and the envelope here
+    p = _materialize(p, list(df.columns) + ["op"], data=data)
     p = p.withColumn("exists", F.map_keys(F.col("data")))
     return _finish(p, partition_col, offset_col)
 

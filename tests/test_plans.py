@@ -85,3 +85,36 @@ def test_lsh_near_dup_has_no_allpairs_join(spark):
     # the exact baseline IS all-pairs (vec_a < vec_b non-equi condition)
     baseline = _plan(spark, "dedup_embedding_cosine")
     assert "BroadcastNestedLoopJoin" in baseline or "CartesianProduct" in baseline
+
+
+def test_dialect_decoders_parse_each_payload_once(spark):
+    """from_json is CodegenFallback: without the Generate barrier,
+    CollapseProject inlines it into every downstream reference and one
+    envelope gets parsed N times (measured 13x on the feed path). Each
+    decoder's physical plan must contain exactly as many from_json nodes
+    as there are distinct things to parse — one evaluation each — and at
+    least one Generate barrier."""
+    from pyspark.sql import functions as F
+
+    from cds_spark.operators import decode as D
+
+    feed = spark.range(10).select(
+        F.lit('{"x":1}').alias("value"),
+        F.col("id").alias("off"),
+        F.lit(0).alias("part"),
+    )
+    # decoder -> expected from_json count: envelope + (debezium-mongo only)
+    # 3 member maps + 3x2 nested $set/_id parses (+1 constant empty_map
+    # foldable literal that Catalyst keeps as a from_json of '{}')
+    cases = {
+        "decode_canal": (D.decode_canal, 1),
+        "decode_debezium_mysql": (D.decode_debezium_mysql, 1),
+        "decode_connector_mongo": (D.decode_connector_mongo, 2),  # +empty_map literal
+        "decode_debezium_mongo": (D.decode_debezium_mongo, 11),  # 1+3+6+empty_map
+    }
+    for name, (fn, max_parses) in cases.items():
+        df = fn(feed, value_col="value", partition_col="part", offset_col="off")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n_parse = plan.count("from_json")
+        assert n_parse <= max_parses, f"{name}: {n_parse} from_json nodes (cap {max_parses})"
+        assert "Generate" in plan, f"{name}: missing the Generate barrier"

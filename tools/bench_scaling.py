@@ -123,7 +123,12 @@ def main() -> None:
     n_events = int(args[0]) if args else 16_000_000
     n_batches = int(args[1]) if len(args) > 1 else 4
     repeats = int(args[2]) if len(args) > 2 else 2
-    n, four_n = 8, 32
+    # N and 4N parallelism levels. 8/32 by default; on a host whose
+    # EFFECTIVE capacity is below 32 cores (vCPU oversubscription — check
+    # the hw probe), 4/16 keeps both levels inside real capacity so the
+    # measurement reflects the engine, not the hypervisor.
+    n = int(args[3]) if len(args) > 3 else 8
+    four_n = 4 * n
     feed_dir = tempfile.mkdtemp(prefix="cds_scale_feed_", dir="/dev/shm")
     runs: dict[int, list[dict]] = {n: [], four_n: []}
     try:
