@@ -122,7 +122,11 @@ def decode_canal(
             T.StructField("old", T.ArrayType(MAP_SS)),
         ]
     )
-    p = _materialize(df, df.columns, _e=F.from_json(F.col(value_col), schema))
+    # the raw payload is not needed past the parse: carrying it through
+    # the Generate would copy the widest column per row (and re-run the
+    # caller's value expression if it is computed)
+    keep = [c for c in df.columns if c != value_col]
+    p = _materialize(df, keep, _e=F.from_json(F.col(value_col), schema))
     p = p.withColumn("op", _norm_op(F.col("_e.type"))).filter(F.col("op").isNotNull())
     p = p.select("*", F.posexplode_outer(F.col("_e.data")).alias("_rowpos", "data"))
     p = p.withColumn("exists", F.map_keys(F.coalesce(F.col("data"), F.lit(None).cast(MAP_SS))))
@@ -151,7 +155,11 @@ def decode_debezium_mysql(
             )
         ]
     )
-    p = _materialize(df, df.columns, _e=F.from_json(F.col(value_col), schema))
+    # the raw payload is not needed past the parse: carrying it through
+    # the Generate would copy the widest column per row (and re-run the
+    # caller's value expression if it is computed)
+    keep = [c for c in df.columns if c != value_col]
+    p = _materialize(df, keep, _e=F.from_json(F.col(value_col), schema))
     p = p.withColumn("op", _norm_op(F.col("_e.payload.op"))).filter(F.col("op").isNotNull())
     p = p.withColumn(
         "data",
@@ -199,7 +207,11 @@ def decode_connector_mongo(
             ),
         ]
     )
-    p = _materialize(df, df.columns, _e=F.from_json(F.col(value_col), schema))
+    # the raw payload is not needed past the parse: carrying it through
+    # the Generate would copy the widest column per row (and re-run the
+    # caller's value expression if it is computed)
+    keep = [c for c in df.columns if c != value_col]
+    p = _materialize(df, keep, _e=F.from_json(F.col(value_col), schema))
     p = p.withColumn("op", _norm_op(F.col("_e.operationType"))).filter(F.col("op").isNotNull())
     removed = F.coalesce(
         F.col("_e.updateDescription.removedFields"),
@@ -319,10 +331,12 @@ def decode_debezium_mongo(
     # then the three member-map parses, then the nested $set/_id parses —
     # every from_json runs once per row, all downstream references are
     # O(1) struct/attribute reads.
-    keep = list(df.columns)
-    p = _materialize(df, keep, _env=F.from_json(F.col(value_col), schema))
+    # raw payload dropped at the first barrier (widest column; see the
+    # other dialects)
+    base_keep = [c for c in df.columns if c != value_col]
+    p = _materialize(df, base_keep, _env=F.from_json(F.col(value_col), schema))
     p = p.withColumn("op", _norm_op(F.col("_env.payload.op"))).filter(F.col("op").isNotNull())
-    keep = keep + ["op"]
+    keep = base_keep + ["op"]
     p = _materialize(
         p,
         keep,
@@ -361,7 +375,7 @@ def decode_debezium_mongo(
     # fourth level: the assembled map itself (referenced by exists AND the
     # downstream row projection — the map_filter/transform_keys chain is
     # not free either); drop the intermediate parses and the envelope here
-    p = _materialize(p, list(df.columns) + ["op"], data=data)
+    p = _materialize(p, base_keep + ["op"], data=data)
     p = p.withColumn("exists", F.map_keys(F.col("data")))
     return _finish(p, partition_col, offset_col)
 
