@@ -42,6 +42,7 @@ HEADLINE = [
     "decode_canal_batch",
     "decode_connector_mongo",
     "decode_debezium_mongo",
+    "decode_feed_fused",
     "cdc_lww_columnwise",
     "cdc_change_rate",
     "dedup_exact",

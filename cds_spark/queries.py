@@ -594,6 +594,91 @@ FROM events WHERE event_type <> 'purchase'
 """
 
 
+def q_decode_feed_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fused struct-parse hot path (decode_feed_rows — what bench.py's
+    replay and the non-evolving pipeline execute) under the driver's hash
+    gate: envelope round-trip exercising op normalization + whitelist
+    ('purchase'->TRUNCATE dropped), missing-pk DLQ split ('view' events
+    omit the pk), injected-vs-payload version precedence ('signup' carries
+    its own commit, which wins), key-only deletes (absent columns -> NULL),
+    and the lenient coercion matrix incl. the Mongo $numberLong unwrap
+    (k), double round-trip (val) and multi-layout timestamp (seen)."""
+    from pyspark.sql import types as T
+
+    from cds_spark.operators.decode import decode_feed_rows
+
+    schema = T.StructType(
+        [
+            T.StructField("uid", T.LongType()),
+            T.StructField("ev", T.StringType()),
+            T.StructField("commit", T.StringType()),
+            T.StructField("val", T.DoubleType()),
+            T.StructField("k", T.LongType()),
+            T.StructField("seen", T.TimestampType()),
+        ]
+    )
+    ev = load(spark, sf_dir, "events")
+    t = F.col("event_type")
+    wire_op = (
+        F.when(t == "signup", "insert")
+        .when(t == "error", "delete")
+        .when(t == "purchase", "TRUNCATE")  # non-DML: dropped by whitelist
+        .otherwise("update")
+    )
+    body = F.struct(
+        # 'view' events omit the pk entirely -> missing-pk DLQ split
+        F.when(t != "view", F.col("user_id").cast("string")).alias("uid"),
+        F.when(t != "delete", F.concat(F.lit("E-"), F.col("event_id"))).alias("ev"),
+        # 'signup' carries its own commit: payload wins over the injected one
+        F.when(t == "signup", F.concat(F.lit("P"), F.col("event_id"))).alias("commit"),
+        F.round("value", 2).alias("val"),
+        F.concat(
+            F.lit('{"$numberLong":"'), F.pmod("user_id", F.lit(100)), F.lit('"}')
+        ).alias("k"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("seen"),
+    )
+    key_only = F.struct(F.col("user_id").cast("string").alias("uid"))
+    payload = F.when(t == "error", F.to_json(key_only)).otherwise(F.to_json(body))
+    wire = ev.select(
+        wire_op.alias("op"),
+        F.lpad(F.pmod("event_id", F.lit(1000)).cast("string"), 6, "0").alias("commit"),
+        F.col("event_id").alias("offset"),
+        F.pmod("user_id", F.lit(8)).cast("int").alias("partition"),
+        payload.alias("payload"),
+    )
+    rows, _dlq = decode_feed_rows(wire, schema, pk=["uid"], inject={"commit": "commit"})
+    return rows.select(
+        "uid",
+        "ev",
+        "commit",
+        "val",
+        "k",
+        F.unix_timestamp("seen").alias("seen_ts"),
+        "_op",
+        "_is_delete",
+        "_partition",
+        "_offset",
+    )
+
+
+ORACLE_DECODE_FEED_FUSED = """
+SELECT user_id AS uid,
+       CASE WHEN event_type = 'error' THEN NULL ELSE 'E-' || event_id END AS ev,
+       CASE WHEN event_type = 'signup' THEN 'P' || event_id
+            ELSE lpad(CAST(event_id % 1000 AS VARCHAR), 6, '0') END AS commit,
+       CASE WHEN event_type = 'error' THEN NULL ELSE round(value, 2) END AS val,
+       CASE WHEN event_type = 'error' THEN NULL ELSE user_id % 100 END AS k,
+       CASE WHEN event_type = 'error' THEN NULL
+            ELSE CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT) END AS seen_ts,
+       CASE WHEN event_type = 'signup' THEN 'c'
+            WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS _op,
+       event_type = 'error' AS _is_delete,
+       user_id % 8 AS _partition,
+       event_id AS _offset
+FROM events WHERE event_type NOT IN ('purchase', 'view')
+"""
+
+
 def q_cdc_lww_columnwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-wise LWW honoring partial updates (the existsKeys merge,
     cmd/rtu/model/common.go:49-56 + parse.go:268-306): per column, last
@@ -821,6 +906,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decode_canal_batch": q_decode_canal_batch,
     "decode_connector_mongo": q_decode_connector_mongo,
     "decode_debezium_mongo": q_decode_debezium_mongo,
+    "decode_feed_fused": q_decode_feed_fused,
     "cdc_lww_columnwise": q_cdc_lww_columnwise,
     "cdc_change_rate": q_cdc_change_rate,
     "dedup_exact": q_dedup_exact,
@@ -857,6 +943,7 @@ ORACLES: dict[str, str] = {
     "decode_canal_batch": ORACLE_DECODE_CANAL,
     "decode_connector_mongo": ORACLE_DECODE_MONGO,
     "decode_debezium_mongo": ORACLE_DECODE_DBZ_MONGO,
+    "decode_feed_fused": ORACLE_DECODE_FEED_FUSED,
     "cdc_lww_columnwise": ORACLE_LWW_COLUMNWISE,
     "cdc_change_rate": ORACLE_CHANGE_RATE,
     "dedup_exact": ORACLE_DEDUP_EXACT,

@@ -149,6 +149,15 @@ def main() -> None:
     r_n = max(runs[n], key=lambda r: r["events_per_sec"])
     r_4n = max(runs[four_n], key=lambda r: r["events_per_sec"])
     raw_speedup = r_4n["events_per_sec"] / r_n["events_per_sec"]
+    # ingest-only: the micro-batch pipeline (read->decode->LWW->bucketed
+    # merge) without the final compact. The compact is the ClickHouse
+    # background-merge analog — amortized maintenance OFF the ingest path
+    # in the reference architecture — and on a single box it is memory-
+    # bandwidth-bound (tmpfs shuffle = memcpy), the one resource a
+    # multi-node N->4N cluster scales that a 4N-thread single box does not.
+    ingest_n = min(sum(r["batch_secs"]) for r in runs[n])
+    ingest_4n = min(sum(r["batch_secs"]) for r in runs[four_n])
+    ingest_speedup = ingest_n / ingest_4n
     probe_n = min(r["probe_sec"] for r in runs[n])
     probe_4n = min(r["probe_sec"] for r in runs[four_n])
     probe_speedup = probe_n / probe_4n
@@ -165,6 +174,8 @@ def main() -> None:
         "throughput_4n": r_4n["events_per_sec"],
         "raw_speedup": round(raw_speedup, 2),
         "scaling_efficiency": round(raw_speedup / (four_n / n), 3),
+        "ingest_only_speedup": round(ingest_speedup, 2),
+        "ingest_only_efficiency": round(ingest_speedup / (four_n / n), 3),
         # single-box ceiling: the SAME pinned JVMs run a pure in-register
         # compute probe (no IO, no shuffle, no files). Its sub-4x speedup is
         # what this host physically delivers from N to 4N vCPUs (shared
@@ -184,7 +195,9 @@ def main() -> None:
         "pass_normalized_to_host_ceiling": raw_speedup / probe_speedup >= 0.8,
     }
     print(json.dumps(report, indent=2))
-    with open(os.path.join(repo, "BENCH_SCALING.json"), "w") as f:
+    # headline artifact is the 8/32 pair; other N-levels are supplementary
+    name = "BENCH_SCALING.json" if n == 8 else f"BENCH_SCALING_{n}x{four_n}.json"
+    with open(os.path.join(repo, name), "w") as f:
         json.dump(report, f, indent=2)
 
 
