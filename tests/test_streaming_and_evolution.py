@@ -408,3 +408,58 @@ def test_kafka_source_config_surface(spark, tmp_path):
         except Exception as e:
             assert "kafka" in str(e).lower() or "KAFKA" in str(e)
             raise
+
+
+def test_compact_winners_strategy_matches_classic(spark, tmp_path):
+    """compact()'s broadcast-winners collapse must produce the same final
+    state as the classic full-shuffle collapse, including tombstone purge
+    and duplicate-delivery absorption; a tiny winner threshold falls back
+    to classic."""
+    from cds_spark.operators.decode import decode_feed_rows
+    from cds_spark.sources.feed import REPO_SCHEMA, change_feed
+
+    feed = change_feed(spark, 3000, n_repos=10, paths_per_repo=15, seed=31)
+    states = {}
+    for label, kw in (
+        ("classic", dict(winner_broadcast_rows=0)),
+        ("winners", dict()),
+        ("fallback", dict(winner_broadcast_rows=1)),
+    ):
+        root = str(tmp_path / f"ct_{label}")
+        t = LakeTable.create(
+            spark, root, REPO_SCHEMA, pk=["repo", "path"],
+            version_cols=["commit", "_offset"], n_buckets=8,
+        )
+        for i in range(2):
+            batch = feed.filter(
+                (F.col("offset") >= i * 1500) & (F.col("offset") < (i + 1) * 1500)
+            )
+            rows, _ = decode_feed_rows(batch, t.schema, t.pk, inject={"commit": "commit"})
+            t.merge(rows, fence=("w", i))
+        t.compact(purge_tombstones=True, **kw)
+        t2 = LakeTable.load(spark, root)
+        assert not t2.properties.get("needs_collapse")
+        states[label] = sorted(tuple(r) for r in t2.current().collect())
+        assert t2.read(live_only=False).count() == len(states[label])  # purged
+    assert states["classic"] == states["winners"] == states["fallback"]
+
+
+def test_manifest_records_file_rows(spark, tmp_path):
+    """_write_txn records per-file parquet row counts (Iceberg-style
+    stats) and they sum to the written row count."""
+    from cds_spark.sources.feed import REPO_SCHEMA
+
+    root = str(tmp_path / "rows_meta")
+    t = LakeTable.create(
+        spark, root, REPO_SCHEMA, pk=["repo", "path"],
+        version_cols=["commit", "_offset"], n_buckets=4,
+    )
+    df = spark.createDataFrame(
+        [(f"r{i%3}", f"p{i}", f"{i:06d}", "py", "x") for i in range(50)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    t.overwrite(df)
+    t2 = LakeTable.load(spark, root)
+    rows = [f.get("rows") for f in t2.manifest["files"]]
+    assert all(isinstance(r, int) for r in rows)
+    assert sum(rows) == 50
