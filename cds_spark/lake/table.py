@@ -77,6 +77,11 @@ DATA_DIR = "data"
 IS_DELETE = "_is_delete"
 OFFSET = "_offset"
 
+#: max in-batch rows for the broadcast upsert-merge plan (the batch side is
+#: bounded by the micro-batch caps — 30k msgs nominal in the reference —
+#: so this is generous; above it, the classic union+collapse shuffle runs)
+UPSERT_BROADCAST_ROWS = 4_000_000
+
 #: physical meta columns appended to every data file
 META_FIELDS = [
     T.StructField(IS_DELETE, T.BooleanType(), True),
@@ -519,9 +524,19 @@ class LakeTable:
             target = self.read(
                 buckets=touched, live_only=False, with_meta=True, collapse=False
             ).withColumn("_bucket", self._bucket_expr())
-            merged = lww_collapse(
-                target.unionByName(src), self.pk, self.version_cols
-            )
+            merged = None
+            # broadcast path requires: batch small enough to broadcast AND
+            # a single-generation target (a needs_collapse table may hold
+            # several versions per key per bucket — only the classic
+            # collapse dedups those)
+            if n_src <= UPSERT_BROADCAST_ROWS and not self.properties.get(
+                "needs_collapse"
+            ):
+                merged = self._merge_via_broadcast(target, src)
+            if merged is None:
+                merged = lww_collapse(
+                    target.unionByName(src), self.pk, self.version_cols
+                )
             n_parts = max(1, min(len(touched), self._n_write_parts()))
             entries = self._write_txn(merged, self._txn_name(), n_parts, collapsed=True)
             m = self._next_manifest(
@@ -548,6 +563,56 @@ class LakeTable:
             )
         finally:
             src.unpersist()
+
+    def _merge_via_broadcast(self, target: DataFrame, src: DataFrame) -> DataFrame | None:
+        """Upsert merge without the wide union+collapse shuffle.
+
+        The classic plan shuffles EVERY row of the touched buckets (target
+        is bucket-complete: untouched keys ride the shuffle just to be
+        rewritten verbatim). Here only the BATCH side — bounded by the
+        micro-batch caps, never by table size — is broadcast, twice:
+
+        1. target keeps its row unless the batch carries the same key with
+           version >= its own (broadcast src-version left join + filter,
+           no shuffle of target);
+        2. the batch keeps its row unless the TARGET had a strictly larger
+           version — target versions for overlapping keys are found with a
+           second broadcast join against the target scan (output is
+           <= |batch| rows) and joined back to the batch.
+
+        Ties go to the batch: an at-least-once redelivery of the exact
+        stored row must converge, and equal version tuples imply equal
+        rows ((commit, offset) is unique per event).
+
+        The only wide shuffle left in the upsert is _write_txn's
+        (bucket, salt) repartition, which every path pays. src must be
+        in-batch collapsed (one row per key) — merge() guarantees it."""
+        pk, vc = self.pk, self.version_cols
+        sv = src.select(
+            *[F.col(c).alias(f"__k{i}") for i, c in enumerate(pk)],
+            F.struct(*vc).alias("__sv"),
+        )
+        def keyed(side: DataFrame):
+            cond = F.lit(True)
+            for i, c in enumerate(pk):
+                cond = cond & (side[c] == F.col(f"__k{i}"))
+            return cond
+
+        t_j = target.join(F.broadcast(sv), keyed(target), "left_outer")
+        t_keep = t_j.filter(
+            F.col("__sv").isNull() | (F.struct(*[target[c] for c in vc]) > F.col("__sv"))
+        ).drop(*[f"__k{i}" for i in range(len(pk))], "__sv")
+
+        # target versions for keys present in the batch (<= |batch| rows)
+        overlap = target.join(F.broadcast(sv), keyed(target), "inner").select(
+            *[F.col(f"__k{i}") for i in range(len(pk))],
+            F.struct(*[target[c] for c in vc]).alias("__tv"),
+        )
+        s_j = src.join(F.broadcast(overlap), keyed(src), "left_outer")
+        s_keep = s_j.filter(
+            F.col("__tv").isNull() | (F.struct(*[src[c] for c in vc]) >= F.col("__tv"))
+        ).drop(*[f"__k{i}" for i in range(len(pk))], "__tv")
+        return t_keep.unionByName(s_keep)
 
     def _n_write_parts(self) -> int:
         return int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
