@@ -403,3 +403,121 @@ FROM blocks a JOIN blocks b
   ON a.block_id = b.block_id AND a.block_val = b.block_val AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_MAX}
 """
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering (connected components) + dedup keep-list
+# ---------------------------------------------------------------------------
+
+
+def near_dup_clusters(
+    docs: DataFrame, pairs: DataFrame | None = None, max_iters: int = 25
+) -> DataFrame:
+    """(doc_id, cluster_id): connected components over the near-dup pair
+    graph — cluster_id = min doc_id in the component; singletons cluster
+    to themselves. THE missing step between pair mining and actual dedup:
+    a training-data pipeline keeps ONE doc per cluster, and pairs alone
+    under-delete transitive groups (a~b, b~c but a!~c must still collapse
+    to one survivor).
+
+    Algorithm: min-label propagation (the GraphX/GraphFrames connected-
+    components baseline) as a driver-bounded loop of DataFrame joins —
+    each iteration is one shuffle join + one count action, and the
+    iteration count is the component DIAMETER, not size (near-dup
+    clusters are dense, so diameter stays small; a 1000-doc pile of
+    boilerplate converges in ~2 iterations). Labels persist per iteration
+    to truncate lineage. Raises if not converged within ``max_iters`` —
+    a silent non-fixpoint would be wrong, not slow.
+
+    100TB notes: each iteration shuffles (edges join labels) — volume is
+    O(|pairs|), already linearized by the banded LSH candidate
+    generation. For adversarial graphs (long chains) swap in
+    large-star/small-star (two-phase CC) — same join primitives,
+    O(log n) iterations."""
+    if pairs is None:
+        pairs = minhash_lsh_pairs(docs)
+    e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    # localCheckpoint (eager) per iteration: persist alone leaves the full
+    # join lineage in the PLAN, and a deep iterative plan OOMs the driver
+    # during analysis long before the data does. On a real cluster swap
+    # for reliable checkpointing (localCheckpoint blocks die with an
+    # executor); in this single-JVM sandbox it is exact.
+    edges = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint(True)
+    for it in range(max_iters):
+        # (a) neighbor-min: pull the smallest label across each edge
+        nbr = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .groupBy(edges["dst"].alias("doc_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        stepped = (
+            labels.alias("o")
+            .join(nbr.alias("n"), "doc_id", "left")
+            .select(
+                F.col("doc_id"),
+                F.least(
+                    F.col("o.label"), F.coalesce(F.col("n.nlabel"), F.col("o.label"))
+                ).alias("label"),
+            )
+        )
+        # (b) pointer jumping: label <- min(label, label(label)) — halves
+        # the remaining chain length every iteration, so convergence is
+        # O(log diameter) instead of O(diameter) (long near-dup chains DO
+        # occur: each doc similar to its neighbor but not to the far end)
+        j = stepped.select(F.col("doc_id").alias("__l"), F.col("label").alias("__ll"))
+        new = (
+            stepped.join(j, stepped["label"] == j["__l"], "left")
+            .select(
+                stepped["doc_id"],
+                F.least(
+                    stepped["label"], F.coalesce(F.col("__ll"), stepped["label"])
+                ).alias("label"),
+            )
+            .localCheckpoint(True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels.select("doc_id", F.col("label").alias("cluster_id"))
+    raise RuntimeError(
+        f"near_dup_clusters did not converge in {max_iters} iterations; "
+        "the pair graph has a longer diameter than expected — raise "
+        "max_iters"
+    )
+
+
+def dedup_keep_list(docs: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+    """(doc_id) survivors after near-dup collapse: the min doc_id of each
+    cluster — deterministic representative selection, one row per cluster."""
+    clusters = near_dup_clusters(docs, pairs)
+    return clusters.select(F.col("cluster_id").alias("doc_id")).distinct()
+
+
+#: connected components in the SQL oracle: transitive min-label closure as
+#: a recursive CTE — reach(d, l) holds every label l reachable from d;
+#: min per doc == min doc_id of its component. Tuple count is bounded by
+#: sum(component_size²), fine at oracle scale.
+def near_dup_clusters_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({MINHASH_LSH_SQL.strip()}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(doc_id, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.label FROM reach r JOIN edges e ON e.dst = r.doc_id
+)
+SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id
+"""

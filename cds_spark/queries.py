@@ -761,6 +761,17 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(load(spark, sf_dir, "documents"))
 
 
+def q_dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the minhash-LSH near-dup pair graph:
+    (doc_id, cluster_id = min doc_id of the component). The dedup step a
+    training pipeline actually applies — pairs alone under-delete
+    transitive groups. Oracle: recursive-CTE min-label closure over the
+    same pairs."""
+    from cds_spark.operators.textdedup import near_dup_clusters
+
+    return near_dup_clusters(load(spark, sf_dir, "documents"))
+
+
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cds_spark.operators.textdedup import simhash_signatures
 
@@ -915,6 +926,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_orders_per_customer": q_top_orders_per_customer,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_minhash_lsh": q_minhash_lsh,
+    "dedup_near_clusters": q_dedup_near_clusters,
     "dedup_simhash_signatures": q_simhash_signatures,
     "dedup_simhash_near_pairs": q_simhash_near_pairs,
     "dedup_embedding_cosine": q_embedding_near_dup,
@@ -959,6 +971,7 @@ def _training_oracles() -> dict[str, str]:
     return {
         "dedup_ngram_jaccard": textdedup.NGRAM_JACCARD_SQL,
         "dedup_minhash_lsh": textdedup.MINHASH_LSH_SQL,
+        "dedup_near_clusters": textdedup.near_dup_clusters_sql(),
         "dedup_simhash_signatures": textdedup.SIMHASH_SIG_SQL,
         "dedup_simhash_near_pairs": textdedup.SIMHASH_PAIRS_SQL,
         "dedup_embedding_cosine": similarity.NEAR_DUP_SQL,

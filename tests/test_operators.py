@@ -386,3 +386,27 @@ def test_fused_decode_matches_two_stage(spark):
     assert dlq_lineage(dlq1) == dlq_lineage(dlq2)
     # the fused path keeps the verbatim wire payload for the failed-topic
     assert set(r._raw for r in dlq1.collect()) <= set(p[4] for p in rows)
+
+
+def test_near_dup_clusters_transitive_collapse(spark):
+    """a~b and b~c (but a!~c directly) must land in ONE cluster labeled by
+    the min doc_id; unrelated docs stay singletons; dedup_keep_list keeps
+    exactly one survivor per cluster."""
+    from cds_spark.operators.textdedup import dedup_keep_list, near_dup_clusters
+
+    # text chain: neighbors share most shingles, ends differ more
+    base = "the quick brown fox jumps over the lazy dog again and again padding "
+    docs = spark.createDataFrame(
+        [
+            (10, base + "alpha beta gamma delta epsilon zeta eta theta"),
+            (11, base + "alpha beta gamma delta epsilon zeta eta IOTA!"),
+            (12, base + "alpha beta gamma delta epsilon zeta XI IOTA!"),
+            (30, "completely different content about spark catalyst plans and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.cluster_id for r in near_dup_clusters(docs).collect()}
+    assert out[10] == out[11] == out[12] == 10
+    assert out[30] == 30
+    keep = sorted(r.doc_id for r in dedup_keep_list(docs).collect())
+    assert keep == [10, 30]
