@@ -190,7 +190,14 @@ def main() -> None:
     # better run is the engine's number, the worse one is the host's. Same
     # methodology as tools/bench_scaling.py. The feed is materialized once
     # and reused; the warmup replay runs once before the first timed run.
-    work = tempfile.mkdtemp(prefix="cds_bench_")
+    # tmpfs when it has headroom: page-cache writeback on /tmp adds
+    # multi-second noise that swamps the replay signal (same finding as
+    # tools/bench_scaling.py); the whole 8M-event feed + tables is ~3 GB
+    ram_ok = (
+        os.path.isdir("/dev/shm")
+        and shutil.disk_usage("/dev/shm").free > 16 * 1024**3
+    )
+    work = tempfile.mkdtemp(prefix="cds_bench_", dir="/dev/shm" if ram_ok else None)
     try:
         from cds_spark.sources.feed import materialize_feed
 
