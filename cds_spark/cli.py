@@ -14,6 +14,7 @@ the lake manifest + lineage sidecar. One subcommand per galaxy concern:
     status         job/etcd status      (cmd/rtu/handle/rtujob.go:207-232)
     history        snapshot log / time travel
     compact        background-merge analog (ReplacingMergeTree merges)
+    expire         snapshot GC (ClickHouse inactive-part cleanup analog)
 
 Usage: python -m cds_spark.cli <subcommand> --help
 """
@@ -183,6 +184,18 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_expire(args) -> int:
+    from cds_spark.lake.table import LakeTable
+
+    table = LakeTable.load(_spark(args), args.root)
+    stats = table.expire_snapshots(keep_last=args.keep_last)
+    stats["orphan_dirs_removed"] = table.remove_orphans(
+        older_than_s=args.orphan_age_s
+    )
+    print(json.dumps({"root": table.root, **stats}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="cds-spark", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -241,6 +254,16 @@ def build_parser() -> argparse.ArgumentParser:
                     help="incremental: rewrite only buckets above this many "
                          "row generations (default: all buckets)")
     sp.set_defaults(fn=cmd_compact)
+
+    sp = sub.add_parser(
+        "expire", help="drop old snapshots + delete unreferenced data files "
+                       "(Iceberg expire_snapshots / remove_orphan_files analog)")
+    common(sp)
+    sp.add_argument("--keep-last", type=int, default=2,
+                    help="retain the newest N snapshots (time-travel window)")
+    sp.add_argument("--orphan-age-s", type=float, default=86400.0,
+                    help="also remove unreferenced txn dirs older than this")
+    sp.set_defaults(fn=cmd_expire)
     return p
 
 

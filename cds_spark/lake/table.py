@@ -49,6 +49,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 from collections.abc import Sequence
@@ -757,3 +758,95 @@ class LakeTable:
         m["properties"]["needs_collapse"] = bool(self._dirty_buckets() - sel_set)
         self._commit(m)
         return sel
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Iceberg ``expire_snapshots`` analog (ClickHouse: inactive-part GC
+        after background merges): drop manifest versions older than the
+        newest ``keep_last`` and delete the data files that ONLY expired
+        snapshots reference. Without this, append+compact retains every
+        superseded generation forever — at 10^10 events/day the dead bytes
+        pass the live bytes within hours.
+
+        Deletion set = (files referenced by expired manifests) MINUS (files
+        referenced by retained manifests): compaction carries untouched
+        buckets forward by reference, so shared files survive; an in-flight
+        writer's uncommitted txn dir is referenced by NO manifest and is
+        never touched (see ``remove_orphans`` for aborted-txn cleanup).
+        Metadata walk + file deletes only — never a data scan, so the cost
+        is O(files in expired window), not O(table). Time travel stays
+        available within the retained window; ``load(version=expired)``
+        raises. Returns counts."""
+        keep_last = max(1, int(keep_last))
+        current = self._current_version(self.root)
+        meta = os.path.join(self.root, META_DIR)
+        versions = sorted(
+            int(n[len("version-"):-len(".json")])
+            for n in os.listdir(meta)
+            if n.startswith("version-") and n.endswith(".json")
+        )
+        retained = {v for v in versions if v > current - keep_last}
+        expired = [v for v in versions if v not in retained]
+        if not expired:
+            return {"expired_snapshots": 0, "deleted_files": 0}
+
+        def _paths(v: int) -> set[str]:
+            with open(self._meta_path(self.root, v)) as f:
+                return {e["path"] for e in json.load(f)["files"]}
+
+        keep = set()
+        for v in retained:
+            keep |= _paths(v)
+        drop = set()
+        for v in expired:
+            drop |= _paths(v)
+        drop -= keep
+        deleted = 0
+        for rel in sorted(drop):
+            p = os.path.join(self.root, rel)
+            try:
+                os.remove(p)
+                deleted += 1
+            except FileNotFoundError:
+                pass
+            d = os.path.dirname(p)
+            # prune now-empty _bucket=/txn dirs (two levels, best-effort)
+            for _ in range(2):
+                try:
+                    os.rmdir(d)
+                except OSError:
+                    break
+                d = os.path.dirname(d)
+        for v in expired:
+            try:
+                os.remove(self._meta_path(self.root, v))
+            except FileNotFoundError:
+                pass
+        return {"expired_snapshots": len(expired), "deleted_files": deleted}
+
+    def remove_orphans(self, older_than_s: float = 86400.0) -> int:
+        """Delete aborted-txn debris: data txn dirs referenced by NO
+        manifest whose mtime is older than ``older_than_s`` (the age guard
+        keeps a concurrent writer's in-flight uncommitted dir safe —
+        Iceberg ``remove_orphan_files`` makes the same contract). Returns
+        dirs removed."""
+        meta = os.path.join(self.root, META_DIR)
+        referenced: set[str] = set()
+        for n in os.listdir(meta):
+            if n.startswith("version-") and n.endswith(".json"):
+                with open(os.path.join(meta, n)) as f:
+                    for e in json.load(f)["files"]:
+                        # path = data/<txn>/_bucket=N/file.parquet
+                        referenced.add(e["path"].split(os.sep)[1])
+        data = os.path.join(self.root, DATA_DIR)
+        removed = 0
+        now = time.time()
+        for d in os.listdir(data) if os.path.isdir(data) else []:
+            full = os.path.join(data, d)
+            if (
+                os.path.isdir(full)
+                and d not in referenced
+                and now - os.path.getmtime(full) > older_than_s
+            ):
+                shutil.rmtree(full, ignore_errors=True)
+                removed += 1
+        return removed

@@ -1,6 +1,7 @@
 """Streaming resume, schema evolution, type coercion, and lake maintenance."""
 
 import json
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -463,3 +464,53 @@ def test_manifest_records_file_rows(spark, tmp_path):
     rows = [f.get("rows") for f in t2.manifest["files"]]
     assert all(isinstance(r, int) for r in rows)
     assert sum(rows) == 50
+
+
+def test_expire_snapshots_and_orphans(spark, tmp_path):
+    """expire_snapshots deletes ONLY files no retained snapshot references:
+    after a subset compact, the new manifest carries untouched buckets
+    forward by reference to files written in now-expired versions — those
+    must survive; the compacted buckets' superseded generations must go."""
+    import time as _time
+
+    import pytest
+
+    table = _mk_table(spark, tmp_path)
+    for i in range(3):
+        f = change_feed(spark, 300, n_repos=5, paths_per_repo=10,
+                        seed=6 + i, start_offset=300 * i)
+        ev = decode_feed(f, inject={"commit": "commit"})
+        rows, _ = events_to_rows(ev, table.schema, table.pk)
+        table.merge(rows, fence=("ex", i))
+    dirty = sorted(table.bucket_generations())
+    table.compact(buckets=dirty[: len(dirty) // 2])
+    before = sorted(
+        (r.repo, r.path, r.content or "") for r in table.current().collect()
+    )
+    stats = table.expire_snapshots(keep_last=1)
+    assert stats["expired_snapshots"] == 4
+    assert stats["deleted_files"] > 0
+    t = LakeTable.load(spark, table.root)
+    # every retained-manifest file still on disk; current state unchanged
+    for e in t.manifest["files"]:
+        assert os.path.exists(os.path.join(t.root, e["path"]))
+    after = sorted(
+        (r.repo, r.path, r.content or "") for r in t.current().collect()
+    )
+    assert after == before
+    with pytest.raises(FileNotFoundError):
+        LakeTable.load(spark, table.root, version=2)
+    assert [h["version"] for h in t.history()] == [t.version]
+    # second call: nothing left to expire
+    assert t.expire_snapshots(keep_last=1) == {
+        "expired_snapshots": 0, "deleted_files": 0}
+
+    # orphan sweep: old unreferenced txn dir goes, fresh one stays
+    old = os.path.join(t.root, "data", "txn-99999999-aborted")
+    fresh = os.path.join(t.root, "data", "txn-99999999-inflight")
+    os.makedirs(old)
+    os.makedirs(fresh)
+    os.utime(old, (_time.time() - 100_000,) * 2)
+    assert t.remove_orphans(older_than_s=3600) == 1
+    assert not os.path.exists(old)
+    assert os.path.exists(fresh)
