@@ -64,6 +64,19 @@ class JobSpec:
     kafka_topic: str | None = None
     #: maxOffsetsPerTrigger — the 30k-msgs micro-batch analog (input.go:74)
     kafka_max_offsets_per_trigger: int = 30000
+    #: steady-state maintenance cadence: every N committed batches run an
+    #: incremental compact of buckets above ``compact_max_generations``
+    #: row generations (the ClickHouse BACKGROUND merge analog — merges
+    #: happen as a side effect of ingest, nobody runs them by hand;
+    #: doc/CDS中ClickHouse使用的建表方案.md:36-48). 0 = off (call
+    #: LakeTable.compact yourself). Work per maintenance tick is
+    #: O(dirty buckets), never O(table).
+    maintenance_every_batches: int = 16
+    compact_max_generations: int = 8
+    #: also expire snapshots beyond this retained window at each
+    #: maintenance tick (0 = keep all history / time travel; opt-in
+    #: because expiry trades time travel for disk)
+    expire_keep_last: int = 0
 
 
 def discover_and_evolve(
@@ -203,6 +216,17 @@ class IncrementalSync:
         finally:
             if events is not None:
                 events.unpersist()
+        maintained: dict | None = None
+        every = self.spec.maintenance_every_batches
+        if every and not stats.skipped and (batch_id + 1) % every == 0:
+            compacted = table.compact(
+                max_generations=self.spec.compact_max_generations
+            )
+            maintained = {"compacted_buckets": len(compacted)}
+            if self.spec.expire_keep_last:
+                maintained.update(
+                    table.expire_snapshots(keep_last=self.spec.expire_keep_last)
+                )
         rec = {
             "job_id": self.spec.job_id,
             "batch_id": batch_id,
@@ -214,6 +238,7 @@ class IncrementalSync:
             "schema_added": added,
             "partitions": lineage_rows,
             "n_dlq": n_dlq,
+            "maintenance": maintained,
             "duration_s": round(time.time() - t0, 3),
             "ts": time.time(),
         }

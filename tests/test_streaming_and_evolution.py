@@ -514,3 +514,30 @@ def test_expire_snapshots_and_orphans(spark, tmp_path):
     assert t.remove_orphans(older_than_s=3600) == 1
     assert not os.path.exists(old)
     assert os.path.exists(fresh)
+
+
+def test_pipeline_auto_maintenance(spark, tmp_path):
+    """Background-merge analog: the sync loop itself compacts dirty buckets
+    (and optionally expires old snapshots) every N batches — generations
+    stay bounded under continuous ingest and the state is untouched."""
+    feed = change_feed(spark, 2000, n_repos=10, paths_per_repo=20, seed=21).persist()
+    oracle = reference_replay_pandas([r.asDict() for r in feed.collect()])
+    topic = str(tmp_path / "topic")
+    write_feed_files(feed, topic, 6)
+    _mk_table(spark, tmp_path, "repos")
+    spec = JobSpec(job_id="m", table_root=str(tmp_path / "repos"),
+                   source_dir=topic, checkpoint_dir=str(tmp_path / "ckpt"),
+                   max_files_per_trigger=1, merge_mode="append",
+                   maintenance_every_batches=2, compact_max_generations=1,
+                   expire_keep_last=2)
+    IncrementalSync(spark, spec).run_available()
+    t = LakeTable.load(spark, str(tmp_path / "repos"))
+    assert t.current().count() == len(oracle)
+    recs = [json.loads(l) for l in open(
+        str(tmp_path / "repos" / "_lineage" / "m.jsonl"))]
+    ticks = [r["maintenance"] for r in recs if r.get("maintenance")]
+    assert ticks and any(m["compacted_buckets"] > 0 for m in ticks)
+    assert any(m.get("expired_snapshots", 0) > 0 for m in ticks)
+    # generations bounded: after the last tick no bucket is deeper than
+    # the threshold + batches since that tick
+    assert max(t.bucket_generations().values()) <= 1 + 2
