@@ -521,3 +521,80 @@ reach(doc_id, label) AS (
 )
 SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    threshold_pct: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-set decontamination against an eval/benchmark corpus:
+    per training doc, the fraction of its distinct shingles that appear
+    ANYWHERE in the benchmark. Standard LLM-pipeline step (the n-gram
+    overlap check of GPT-3 appx C / PaLM-style decontamination).
+
+    Scale shape: the benchmark shingle set is tiny next to a 100 TB corpus
+    (eval suites are MBs), so it is explicitly ``broadcast`` — the corpus
+    side stays a linear scan + one map-side-combined groupBy(doc_id); no
+    wide join ever forms. ``contaminated`` is derived from exact integer
+    counts (100*hits >= pct*total), never a float compare, so the verdict
+    is engine-independent; ``overlap`` is one FP division of exact longs.
+    """
+    d = shingles(docs, text_col, id_col)
+    b = (
+        shingles(benchmark, text_col, id_col)
+        .select("s").distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        d.join(F.broadcast(b), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("_hit").alias("n_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_hits",
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_shingles"), 4
+            ).alias("overlap"),
+            (F.lit(100) * F.col("n_hits")
+             >= F.lit(int(threshold_pct)) * F.col("n_shingles")
+             ).alias("contaminated"),
+        )
+    )
+
+
+def _shingles_sql_where(where: str) -> str:
+    return f"""
+  SELECT doc_id,
+         unnest(list_distinct([substr(lower(substr(text, 1, {PREFIX})), i, {SHINGLE_K})
+                               for i in generate_series(1, len(lower(substr(text, 1, {PREFIX}))) - {SHINGLE_K - 1})])) AS s
+  FROM documents WHERE len(text) >= {SHINGLE_K} AND ({where})
+"""
+
+
+#: oracle: benchmark = doc_id % 20 = 0, train = the rest (deterministic
+#: split of the same table in both engines)
+DECONTAMINATE_SQL = f"""
+WITH bench AS (
+  SELECT DISTINCT s FROM ({_shingles_sql_where("doc_id % 20 = 0")})
+),
+train AS ({_shingles_sql_where("doc_id % 20 <> 0")})
+SELECT t.doc_id,
+       count(*) AS n_shingles,
+       count(b.s) AS n_hits,
+       round(CAST(count(b.s) AS DOUBLE) / count(*), 4) AS overlap,
+       (100 * count(b.s) >= 50 * count(*)) AS contaminated
+FROM train t LEFT JOIN bench b ON t.s = b.s
+GROUP BY t.doc_id
+"""

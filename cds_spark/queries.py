@@ -772,6 +772,21 @@ def q_dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_clusters(load(spark, sf_dir, "documents"))
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per training doc, the exact fraction of
+    its distinct shingles found anywhere in the benchmark corpus (here the
+    deterministic doc_id %% 20 == 0 slice stands in for the eval suite).
+    Benchmark shingle set is broadcast — corpus side stays one linear
+    scan + map-side-combined groupBy; no wide join at 100 TB."""
+    from cds_spark.operators.textdedup import decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+    )
+
+
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cds_spark.operators.textdedup import simhash_signatures
 
@@ -927,6 +942,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_minhash_lsh": q_minhash_lsh,
     "dedup_near_clusters": q_dedup_near_clusters,
+    "dedup_decontaminate": q_decontaminate,
     "dedup_simhash_signatures": q_simhash_signatures,
     "dedup_simhash_near_pairs": q_simhash_near_pairs,
     "dedup_embedding_cosine": q_embedding_near_dup,
@@ -972,6 +988,7 @@ def _training_oracles() -> dict[str, str]:
         "dedup_ngram_jaccard": textdedup.NGRAM_JACCARD_SQL,
         "dedup_minhash_lsh": textdedup.MINHASH_LSH_SQL,
         "dedup_near_clusters": textdedup.near_dup_clusters_sql(),
+        "dedup_decontaminate": textdedup.DECONTAMINATE_SQL,
         "dedup_simhash_signatures": textdedup.SIMHASH_SIG_SQL,
         "dedup_simhash_near_pairs": textdedup.SIMHASH_PAIRS_SQL,
         "dedup_embedding_cosine": similarity.NEAR_DUP_SQL,

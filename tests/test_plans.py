@@ -118,3 +118,12 @@ def test_dialect_decoders_parse_each_payload_once(spark):
         n_parse = plan.count("from_json")
         assert n_parse <= max_parses, f"{name}: {n_parse} from_json nodes (cap {max_parses})"
         assert "Generate" in plan, f"{name}: missing the Generate barrier"
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    # benchmark shingle set is broadcast; the corpus side must stay a
+    # linear scan (no sort-merge / cartesian join at 100 TB)
+    plan = _plan(spark, "dedup_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
