@@ -58,6 +58,8 @@ HEADLINE = [
     "text_quality_scores",
     "text_token_counts",
     "text_fingerprints",
+    "text_pii_scrub",
+    "text_chunking",
     "multimodal_features",
     "multimodal_features_digest",
 ]

@@ -141,3 +141,113 @@ SELECT doc_id,
                  for i in generate_series(1, greatest(len(lower(text)) - {FINGERPRINT_K - 1}, 1))]) AS fp_max
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+#: RE2-and-Java-compatible patterns (no lookaround/backrefs) so the Spark
+#: plan and the DuckDB oracle execute the SAME regexes
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?[0-9][0-9() .-]{6,}[0-9]"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / phone-ish numbers / IPv4 literals to typed tags —
+    the standard scrub pass before training-corpus release. Pure JVM
+    regexp_replace/extract_all chain: linear scan, no shuffle, no UDF.
+    Order matters: emails first (their local part can look phone-ish),
+    then IPs (before phones: dotted quads contain digit runs), then
+    phones over the already-redacted text."""
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), 0)).cast("long")
+    step1 = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    n_ips = F.size(F.regexp_extract_all(step1, F.lit(PII_IPV4_RE), 0)).cast("long")
+    step2 = F.regexp_replace(step1, PII_IPV4_RE, "<IP>")
+    n_phones = F.size(F.regexp_extract_all(step2, F.lit(PII_PHONE_RE), 0)).cast("long")
+    clean = F.regexp_replace(step2, PII_PHONE_RE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_phones.alias("n_phones"),
+    )
+
+
+#: oracle: same regexes via DuckDB's RE2. The synthetic corpus carries no
+#: PII, so the oracle query plants deterministic PII derived from doc_id
+#: in BOTH engines and asserts the scrub actually fires (not just a no-op
+#: pass over clean text).
+PII_SCRUB_SQL = f"""
+WITH seeded AS (
+  SELECT doc_id,
+         concat(text, ' reach user', doc_id, '@example.com or 10.0.',
+                doc_id % 256, '.7 or +1 (555) 01', doc_id % 10, '-4242') AS text
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+         regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS t1
+  FROM seeded
+), s2 AS (
+  SELECT doc_id, n_emails,
+         CAST(len(regexp_extract_all(t1, '{PII_IPV4_RE}')) AS BIGINT) AS n_ips,
+         regexp_replace(t1, '{PII_IPV4_RE}', '<IP>', 'g') AS t2
+  FROM s1
+)
+SELECT doc_id,
+       regexp_replace(t2, '{PII_PHONE_RE}', '<PHONE>', 'g') AS clean_text,
+       n_emails, n_ips,
+       CAST(len(regexp_extract_all(t2, '{PII_PHONE_RE}')) AS BIGINT) AS n_phones
+FROM s2
+"""
+
+
+# ---------------------------------------------------------------------------
+# document chunking
+# ---------------------------------------------------------------------------
+
+CHUNK_CHARS = 500
+CHUNK_OVERLAP = 100
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_chars: int = CHUNK_CHARS,
+    overlap: int = CHUNK_OVERLAP,
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each doc into overlapping fixed-width character windows
+    (stride = chunk - overlap) — the context-window packing step of a
+    training pipeline. posexplode over an integer sequence: linear work,
+    integer-exact chunk count in any engine."""
+    stride = chunk_chars - overlap
+    n_extra = F.floor(
+        (F.greatest(F.length(text_col) - chunk_chars, F.lit(0)) + (stride - 1))
+        / stride
+    ).cast("long")
+    idx = F.explode(F.sequence(F.lit(0), n_extra)).alias("chunk_idx")
+    return (
+        docs.filter(F.length(text_col) > 0)
+        .select("doc_id", F.col(text_col).alias("_t"), idx)
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.expr(f"substr(_t, chunk_idx * {stride} + 1, {chunk_chars})").alias("chunk"),
+        )
+    )
+
+
+CHUNK_SQL = f"""
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       substr(text, CAST(i AS INTEGER) * {CHUNK_CHARS - CHUNK_OVERLAP} + 1, {CHUNK_CHARS}) AS chunk
+FROM documents,
+     unnest(generate_series(0,
+        CAST(floor((greatest(len(text) - {CHUNK_CHARS}, 0) + {CHUNK_CHARS - CHUNK_OVERLAP - 1})
+                   / {CHUNK_CHARS - CHUNK_OVERLAP}) AS BIGINT))) AS u(i)
+WHERE len(text) > 0
+"""

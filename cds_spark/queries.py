@@ -772,6 +772,33 @@ def q_dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_clusters(load(spark, sf_dir, "documents"))
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus. The synthetic docs carry no PII, so the
+    query plants deterministic doc_id-derived email/IP/phone strings (the
+    oracle plants the identical ones) and redacts them — asserting the
+    scrub fires, not just a no-op pass."""
+    from cds_spark.operators.textstats import pii_scrub
+
+    docs = load(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" reach user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 or +1 (555) 01"), (F.col("doc_id") % 10).cast("string"),
+            F.lit("-4242"),
+        ).alias("text"),
+    )
+    return pii_scrub(seeded)
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-width chunking (context-window packing)."""
+    from cds_spark.operators.textstats import chunk_documents
+
+    return chunk_documents(load(spark, sf_dir, "documents"))
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: per training doc, the exact fraction of
     its distinct shingles found anywhere in the benchmark corpus (here the
@@ -943,6 +970,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_minhash_lsh,
     "dedup_near_clusters": q_dedup_near_clusters,
     "dedup_decontaminate": q_decontaminate,
+    "text_pii_scrub": q_pii_scrub,
+    "text_chunking": q_chunk_documents,
     "dedup_simhash_signatures": q_simhash_signatures,
     "dedup_simhash_near_pairs": q_simhash_near_pairs,
     "dedup_embedding_cosine": q_embedding_near_dup,
@@ -999,6 +1028,8 @@ def _training_oracles() -> dict[str, str]:
         "text_lang_id": textstats.LANG_ID_SQL,
         "text_token_counts": textstats.TOKEN_COUNT_SQL,
         "text_fingerprints": textstats.FINGERPRINT_SQL,
+        "text_pii_scrub": textstats.PII_SCRUB_SQL,
+        "text_chunking": textstats.CHUNK_SQL,
         "multimodal_manifest": ORACLE_MULTIMODAL,
         # multimodal_features: Python mapInPandas stage — rows-only check
         # (feat_mean); its deterministic slice is hash-checked below
