@@ -60,6 +60,7 @@ HEADLINE = [
     "text_fingerprints",
     "text_pii_scrub",
     "text_chunking",
+    "text_holdout_split",
     "multimodal_features",
     "multimodal_features_digest",
 ]

@@ -251,3 +251,53 @@ FROM documents,
                    / {CHUNK_CHARS - CHUNK_OVERLAP}) AS BIGINT))) AS u(i)
 WHERE len(text) > 0
 """
+
+
+# ---------------------------------------------------------------------------
+# deterministic holdout split
+# ---------------------------------------------------------------------------
+
+VAL_PCT = 5
+TEST_PCT = 5
+
+
+def holdout_split(
+    docs: DataFrame,
+    val_pct: int = VAL_PCT,
+    test_pct: int = TEST_PCT,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign each doc a stable train/val/test split by hashing its id —
+    membership must be a pure function of the id (never rand()/row order/
+    partitioning), so re-runs, engine swaps, and corpus growth never leak
+    a val doc into train. Salted md5 bucket 0-99: the same expression is
+    ANSI-SQL-replicable (see SPLIT_SQL), which is the whole point."""
+    from cds_spark.functions import stable_long_hash
+
+    bucket = F.pmod(
+        stable_long_hash(F.concat(F.lit("split:"), F.col(id_col).cast("string"))),
+        F.lit(100),
+    ).cast("long")
+    return docs.select(
+        id_col,
+        bucket.alias("split_bucket"),
+        F.when(bucket < val_pct, "val")
+        .when(bucket < val_pct + test_pct, "test")
+        .otherwise("train")
+        .alias("split"),
+    )
+
+
+SPLIT_SQL = f"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(concat('split:', doc_id)), 1, 15)) AS BIGINT)
+           % 100 AS split_bucket
+  FROM documents
+)
+SELECT doc_id, split_bucket,
+       CASE WHEN split_bucket < {VAL_PCT} THEN 'val'
+            WHEN split_bucket < {VAL_PCT + TEST_PCT} THEN 'test'
+            ELSE 'train' END AS split
+FROM b
+"""

@@ -799,6 +799,14 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(load(spark, sf_dir, "documents"))
 
 
+def q_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split: membership is a pure function
+    of doc_id (salted md5 bucket), replicated exactly in ANSI SQL."""
+    from cds_spark.operators.textstats import holdout_split
+
+    return holdout_split(load(spark, sf_dir, "documents"))
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: per training doc, the exact fraction of
     its distinct shingles found anywhere in the benchmark corpus (here the
@@ -972,6 +980,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_decontaminate": q_decontaminate,
     "text_pii_scrub": q_pii_scrub,
     "text_chunking": q_chunk_documents,
+    "text_holdout_split": q_holdout_split,
     "dedup_simhash_signatures": q_simhash_signatures,
     "dedup_simhash_near_pairs": q_simhash_near_pairs,
     "dedup_embedding_cosine": q_embedding_near_dup,
@@ -1030,6 +1039,7 @@ def _training_oracles() -> dict[str, str]:
         "text_fingerprints": textstats.FINGERPRINT_SQL,
         "text_pii_scrub": textstats.PII_SCRUB_SQL,
         "text_chunking": textstats.CHUNK_SQL,
+        "text_holdout_split": textstats.SPLIT_SQL,
         "multimodal_manifest": ORACLE_MULTIMODAL,
         # multimodal_features: Python mapInPandas stage — rows-only check
         # (feat_mean); its deterministic slice is hash-checked below
