@@ -61,6 +61,7 @@ HEADLINE = [
     "text_pii_scrub",
     "text_chunking",
     "text_holdout_split",
+    "text_weighted_sample",
     "multimodal_features",
     "multimodal_features_digest",
 ]

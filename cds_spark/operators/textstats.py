@@ -301,3 +301,66 @@ SELECT doc_id, split_bucket,
             ELSE 'train' END AS split
 FROM b
 """
+
+
+# ---------------------------------------------------------------------------
+# per-source weighted sampling (corpus mixing)
+# ---------------------------------------------------------------------------
+
+
+def weighted_sample(
+    docs: DataFrame,
+    rates,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-source downsampling — the corpus-mixing step
+    (e.g. keep 100% of books, 20% of common-crawl). ``rates`` is either a
+    {source: keep_pct} dict (missing sources keep 100) or a Column giving
+    the pct. Membership hashes the doc id (never rand()): re-runs and
+    engine swaps keep the identical sample, and growth in one source
+    never reshuffles another's."""
+    from cds_spark.functions import stable_long_hash
+
+    if isinstance(rates, dict):
+        m = F.create_map(*[F.lit(x) for kv in rates.items() for x in kv])
+        rate = F.coalesce(m[F.col(source_col)], F.lit(100)).cast("long")
+    else:
+        rate = rates.cast("long")
+    bucket = F.pmod(
+        stable_long_hash(F.concat(F.lit("samp:"), F.col(id_col).cast("string"))),
+        F.lit(100),
+    ).cast("long")
+    return (
+        docs.select(
+            id_col,
+            source_col,
+            bucket.alias("sample_bucket"),
+            rate.alias("rate_pct"),
+        )
+        .where(F.col("sample_bucket") < F.col("rate_pct"))
+    )
+
+
+#: oracle rates: derived from the source NAME by the same stable hash
+#: (10-99%), so both engines compute the mixing table instead of sharing
+#: a literal list
+def weighted_sample_rate_expr(source_col: str = "source"):
+    from cds_spark.functions import stable_long_hash
+
+    return 10 + F.pmod(
+        stable_long_hash(F.concat(F.lit("rate:"), F.col(source_col))), F.lit(90)
+    )
+
+
+WEIGHTED_SAMPLE_SQL = """
+WITH r AS (
+  SELECT doc_id, source,
+         CAST(concat('0x', substr(md5(concat('samp:', doc_id)), 1, 15)) AS BIGINT)
+           % 100 AS sample_bucket,
+         10 + CAST(concat('0x', substr(md5(concat('rate:', source)), 1, 15)) AS BIGINT)
+           % 90 AS rate_pct
+  FROM documents
+)
+SELECT * FROM r WHERE sample_bucket < rate_pct
+"""

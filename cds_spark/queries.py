@@ -807,6 +807,16 @@ def q_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holdout_split(load(spark, sf_dir, "documents"))
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing: per-source keep rates (here hash-derived 10-99%)
+    applied as a deterministic doc_id-hash Bernoulli."""
+    from cds_spark.operators.textstats import (
+        weighted_sample, weighted_sample_rate_expr)
+
+    return weighted_sample(
+        load(spark, sf_dir, "documents"), weighted_sample_rate_expr())
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: per training doc, the exact fraction of
     its distinct shingles found anywhere in the benchmark corpus (here the
@@ -981,6 +991,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_pii_scrub": q_pii_scrub,
     "text_chunking": q_chunk_documents,
     "text_holdout_split": q_holdout_split,
+    "text_weighted_sample": q_weighted_sample,
     "dedup_simhash_signatures": q_simhash_signatures,
     "dedup_simhash_near_pairs": q_simhash_near_pairs,
     "dedup_embedding_cosine": q_embedding_near_dup,
@@ -1040,6 +1051,7 @@ def _training_oracles() -> dict[str, str]:
         "text_pii_scrub": textstats.PII_SCRUB_SQL,
         "text_chunking": textstats.CHUNK_SQL,
         "text_holdout_split": textstats.SPLIT_SQL,
+        "text_weighted_sample": textstats.WEIGHTED_SAMPLE_SQL,
         "multimodal_manifest": ORACLE_MULTIMODAL,
         # multimodal_features: Python mapInPandas stage — rows-only check
         # (feat_mean); its deterministic slice is hash-checked below

@@ -8,6 +8,8 @@ set -u
 cd /root/repo
 DEADLINE=$(( $(date +%s) + ${1:-2400} ))
 BAR=${2:-3.35}
+NEV=${3:-16000000}
+NB=${4:-4}
 RUNS=0
 while [ "$(date +%s)" -lt "$DEADLINE" ] && [ "$RUNS" -lt 2 ]; do
   SP=$(timeout 120 python3 tools/host_probe.py | python3 -c "import json,sys; print(json.load(sys.stdin)['speedup'])" 2>/dev/null)
@@ -16,7 +18,7 @@ while [ "$(date +%s)" -lt "$DEADLINE" ] && [ "$RUNS" -lt 2 ]; do
   if [ "$OK" = "1" ]; then
     echo "$(date +%T) quiet window (probe=$SP >= $BAR) — launching bench_scaling"
     OLD=$(python3 -c "import json; print(json.load(open('BENCH_SCALING.json'))['raw_speedup'])")
-    timeout 1800 python3 tools/bench_scaling.py 16000000 4 2 8 > /tmp/scaling_watch_run.log 2>&1
+    timeout 1800 python3 tools/bench_scaling.py $NEV $NB 2 8 > /tmp/scaling_watch_run.log 2>&1
     RUNS=$((RUNS+1))
     NEW=$(python3 -c "import json; print(json.load(open('BENCH_SCALING.json'))['raw_speedup'])" 2>/dev/null || echo 0)
     echo "$(date +%T) run done: old raw_speedup=$OLD new=$NEW"
