@@ -410,3 +410,73 @@ def test_near_dup_clusters_transitive_collapse(spark):
     assert out[30] == 30
     keep = sorted(r.doc_id for r in dedup_keep_list(docs).collect())
     assert keep == [10, 30]
+
+
+def test_chunking_reconstructs_documents(spark):
+    """Overlap-stripped chunk concatenation must reproduce every doc."""
+    from cds_spark.operators.textstats import (
+        CHUNK_CHARS, CHUNK_OVERLAP, chunk_documents)
+
+    docs = _docs(spark)
+    stride = CHUNK_CHARS - CHUNK_OVERLAP
+    rows = chunk_documents(docs).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_idx] = r.chunk
+    originals = {r.doc_id: r.text for r in docs.collect() if len(r.text) > 0}
+    assert set(by_doc) == set(originals)
+    for doc_id, chunks in by_doc.items():
+        parts = [chunks[0]] + [chunks[i][-(len(chunks[i]) - CHUNK_OVERLAP):]
+                               if len(chunks[i]) > CHUNK_OVERLAP else ""
+                               for i in range(1, len(chunks))]
+        # chunk i starts at i*stride: reconstruct = chunk0 + tail of each
+        rebuilt = chunks[0]
+        for i in range(1, len(chunks)):
+            rebuilt = rebuilt[: i * stride] + chunks[i]
+        assert rebuilt == originals[doc_id], doc_id
+
+
+def test_pii_scrub_idempotent_and_complete(spark):
+    """Scrubbing scrubbed text is a no-op (tags carry no @/digits), and
+    planted PII never survives."""
+    from cds_spark.operators.textstats import pii_scrub
+
+    docs = _docs(spark).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" a.b-c_d@mail.example.org 192.168.0.1 +44 20 7946 0958"),
+        ).alias("text"),
+    )
+    once = pii_scrub(docs)
+    assert once.filter(
+        F.col("clean_text").rlike("@|[0-9]{3}")).count() == 0
+    twice = pii_scrub(once.select("doc_id", F.col("clean_text").alias("text")))
+    assert twice.filter(
+        (F.col("n_emails") > 0) | (F.col("n_ips") > 0) | (F.col("n_phones") > 0)
+    ).count() == 0
+    joined = once.alias("a").join(twice.alias("b"), "doc_id").filter(
+        F.col("a.clean_text") != F.col("b.clean_text"))
+    assert joined.count() == 0
+
+
+def test_split_and_sample_are_deterministic_pure_functions(spark):
+    """Holdout split and weighted sample must not depend on partitioning,
+    row order, or run count."""
+    from cds_spark.operators.textstats import (
+        holdout_split, weighted_sample, weighted_sample_rate_expr)
+
+    docs = _docs(spark)
+    a = {(r.doc_id): r.split for r in holdout_split(docs).collect()}
+    b = {(r.doc_id): r.split
+         for r in holdout_split(docs.repartition(13)).collect()}
+    assert a == b and set(a.values()) == {"train", "val", "test"}
+    s1 = {r.doc_id for r in weighted_sample(docs, weighted_sample_rate_expr()).collect()}
+    s2 = {r.doc_id for r in weighted_sample(
+        docs.orderBy(F.desc("doc_id")), weighted_sample_rate_expr()).collect()}
+    assert s1 == s2 and 0 < len(s1) < docs.count()
+    # dict-rate form: 0% drops a source entirely, missing sources keep all
+    src = docs.select("source").first()["source"]
+    z = weighted_sample(docs, {src: 0})
+    assert z.filter(F.col("source") == src).count() == 0
+    assert z.count() == docs.filter(F.col("source") != src).count()
