@@ -50,6 +50,22 @@ def content_sha256(c: Column | str) -> Column:
     return F.sha2(col.cast("string"), 256)
 
 
+def state_digest(df, cols: list[str] | None = None) -> int:
+    """Order-independent digest of a DataFrame's content: ``bit_xor`` of a
+    per-row ``xxhash64`` over ``cols`` (all columns by default). One JVM
+    aggregate, no collect of rows — used to compare final table state
+    across independently-launched engines (e.g. the in-process replay vs
+    the ``spark-submit --py-files`` replay) without shipping the data.
+    Deterministic for a given row multiset; commutative, so partitioning
+    and row order never matter. Returns 0 for an empty frame."""
+    cols = cols or df.columns
+    row = df.select(
+        F.expr(f"bit_xor(xxhash64({', '.join(cols)}))").alias("d"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    return int(row["d"] or 0) ^ int(row["n"])
+
+
 def stable_long_hash(c: Column | str, bits: int = 61) -> Column:
     """Cross-engine-reproducible non-negative hash: first 15 hex chars of
     md5 as a long (DuckDB: md5(x) gives the same hex). Used by operators

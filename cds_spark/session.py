@@ -87,6 +87,38 @@ def _ensure_fast_local_fs(jvm_dir: str) -> bool:
     return os.path.exists(cls)
 
 
+def submit_session(
+    app_name: str = "cds-spark-job",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """SparkSession for a ``spark-submit``-launched driver (the north rule's
+    deployment mode: ``spark-submit --py-files dist/cds_spark.zip job.py``).
+
+    Unlike :func:`get_spark` this sets NO master — cluster topology comes
+    from the submit command line — and skips JVM-launch options, which are
+    inert once the driver JVM exists (set ``--driver-memory`` /
+    ``--driver-class-path`` as spark-submit flags instead). Only the
+    SQL-semantics defaults the engine depends on are applied: LAST_WIN map
+    dedup (decode patch/inject overwrite order), UTC session timezone
+    (deterministic replay), AQE, Arrow. Works when ``cds_spark`` is imported
+    from a ``--py-files`` zip: the FastLocalFileSystem compile is skipped
+    (zip paths aren't compilable) and the stock filesystem is kept."""
+    builder = SparkSession.builder.appName(app_name)
+    conf = {
+        k: v
+        for k, v in _DEFAULTS.items()
+        if not k.startswith(("spark.driver.", "spark.hadoop.fs.file."))
+    }
+    if shuffle_partitions:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
 def get_spark(
     app_name: str = "cds-spark",
     cores: int | None = None,
