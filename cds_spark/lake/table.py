@@ -70,6 +70,37 @@ def _parquet_rows(path: str) -> int | None:
     except Exception:
         return None
 
+
+def _parquet_col_ranges(path: str, cols: Sequence[str]) -> dict | None:
+    """Per-column [min, max] zone map from the parquet footer (Iceberg
+    lower/upper bound stats): no data read, JSON-safe scalars only. Files
+    are written ``sortWithinPartitions(pk)`` so PK ranges are tight and
+    file-skipping on point lookups is effective. None when any requested
+    column lacks footer stats (non-scalar type, old writer)."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        out: dict[str, list] = {}
+        for c in cols:
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[c]).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes):
+                    mn, mx = mn.decode("utf-8", "replace"), mx.decode("utf-8", "replace")
+                if not isinstance(mn, (str, int, float)):
+                    return None
+                lo = mn if lo is None or mn < lo else lo
+                hi = mx if hi is None or mx > hi else hi
+            out[c] = [lo, hi]
+        return out
+    except Exception:
+        return None
+
 from cds_spark.operators.dedup import lww_collapse
 from cds_spark.schema import is_widening
 
@@ -293,17 +324,48 @@ class LakeTable:
     def _bucket_expr(self):
         return F.pmod(F.xxhash64(*[F.col(c) for c in self.pk]), F.lit(self.n_buckets))
 
+    def _read_entries(self, files: Sequence[dict], phys_cur: T.StructType) -> DataFrame:
+        """Union-read manifest file entries aligned to ``phys_cur``: widened
+        columns cast, missing columns NULL-filled — one ``spark.read`` per
+        distinct historical schema, so the scan still gets footer pushdown."""
+        if not files:
+            return self.spark.createDataFrame([], phys_cur)
+        by_schema: dict[str, list[str]] = {}
+        for f in files:
+            by_schema.setdefault(str(f["schema_id"]), []).append(
+                os.path.join(self.root, f["path"])
+            )
+        parts = []
+        for sid, paths in by_schema.items():
+            file_schema = _physical(T.StructType.fromJson(self.manifest["schemas"][sid]))
+            part = self.spark.read.schema(file_schema).parquet(*paths)
+            have = {f.name for f in file_schema.fields}
+            sel = [
+                (F.col(f.name).cast(f.dataType) if f.name in have
+                 else F.lit(None).cast(f.dataType)).alias(f.name)
+                for f in phys_cur.fields
+            ]
+            parts.append(part.select(*sel))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
     def read(
         self,
         buckets: Sequence[int] | None = None,
         live_only: bool = True,
         with_meta: bool = False,
         collapse: bool = True,
+        file_pred=None,
     ) -> DataFrame:
         """Snapshot read. ``live_only`` filters tombstones (the ``{t}_now``
         view); ``with_meta`` keeps ``_is_delete``/``_offset``. Bucket
         pruning skips files whose bucket is not requested — manifest-level
-        partition pruning.
+        partition pruning. ``file_pred`` (manifest-entry -> bool) applies
+        further manifest-level skipping, e.g. zone-map range checks; it
+        must be CONSERVATIVE (keep on unknown) — correctness relies on
+        never skipping a file that could hold a requested row.
 
         After append-mode merges a bucket holds multiple row generations;
         ``collapse`` applies the LWW window (ClickHouse ``FINAL`` analog)
@@ -313,31 +375,10 @@ class LakeTable:
         if buckets is not None:
             want = set(int(b) for b in buckets)
             files = [f for f in files if f["bucket"] in want]
-        cur_schema = self.schema
-        phys_cur = _physical(cur_schema)
-        if not files:
-            df = self.spark.createDataFrame([], phys_cur)
-        else:
-            by_schema: dict[str, list[str]] = {}
-            for f in files:
-                by_schema.setdefault(str(f["schema_id"]), []).append(
-                    os.path.join(self.root, f["path"])
-                )
-            parts = []
-            for sid, paths in by_schema.items():
-                file_schema = _physical(T.StructType.fromJson(self.manifest["schemas"][sid]))
-                part = self.spark.read.schema(file_schema).parquet(*paths)
-                # align to current schema: cast widened, add missing as NULL
-                have = {f.name for f in file_schema.fields}
-                sel = [
-                    (F.col(f.name).cast(f.dataType) if f.name in have
-                     else F.lit(None).cast(f.dataType)).alias(f.name)
-                    for f in phys_cur.fields
-                ]
-                parts.append(part.select(*sel))
-            df = parts[0]
-            for p in parts[1:]:
-                df = df.unionByName(p)
+        if file_pred is not None:
+            files = [f for f in files if file_pred(f)]
+        phys_cur = _physical(self.schema)
+        df = self._read_entries(files, phys_cur)
         if collapse and self.properties.get("needs_collapse"):
             df = lww_collapse(df, self.pk, self.version_cols).select(
                 *[f.name for f in phys_cur.fields]
@@ -351,6 +392,139 @@ class LakeTable:
     def current(self) -> DataFrame:
         """The queryable current state — the ``{t}_now`` view analog."""
         return self.read(live_only=True, with_meta=False)
+
+    def lookup(self, keys, live_only: bool = True) -> DataFrame:
+        """Bucket-pruned point/multi-key fetch — the analog of ClickHouse
+        routing a PK query to its owning shard (reference: queries against
+        the synced table hit the sharding key, pkg/ckgroup/dml.go). At
+        100 TB a PK fetch must NOT scan the table: the owning bucket of
+        each key is computed with the same ``xxhash64 % n_buckets``
+        expression the writer uses, the manifest prunes every other
+        bucket's files, and the (tiny) key set is broadcast for the final
+        semi join. Cost is O(|keys| buckets' files), independent of table
+        size.
+
+        ``keys``: list of dicts keyed by the PK columns, list of tuples in
+        PK order, or a DataFrame containing the PK columns."""
+        pk = self.pk
+        pk_fields = [next(f for f in self.schema.fields if f.name == c) for c in pk]
+        if isinstance(keys, DataFrame):
+            kdf = keys.select(*pk).distinct()
+        else:
+            rows = [
+                tuple(k[c] for c in pk) if isinstance(k, dict) else tuple(k)
+                for k in keys
+            ]
+            kdf = self.spark.createDataFrame(
+                rows, T.StructType(pk_fields)
+            ).distinct()
+        # bounded collect: bucket id + key values per distinct key
+        krows = kdf.select(
+            self._bucket_expr().alias("_b"), *[F.col(c) for c in pk]
+        ).distinct().collect()
+        buckets = sorted({r["_b"] for r in krows})
+        keyvals = [tuple(r[c] for c in pk) for r in krows]
+
+        def in_range(entry: dict) -> bool:
+            # zone-map file skip within the bucket: keep unless the file's
+            # PK bounds exclude EVERY requested key (conservative: files
+            # without stats are kept)
+            st = entry.get("stats")
+            if not st or any(c not in st for c in pk):
+                return True
+            return any(
+                all(st[c][0] <= kv[i] <= st[c][1] for i, c in enumerate(pk))
+                for kv in keyvals
+            )
+
+        df = self.read(buckets=buckets, live_only=live_only, file_pred=in_range)
+        return df.join(F.broadcast(kdf), on=pk, how="left_semi")
+
+    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Incremental change read (Iceberg incremental-scan / CDF analog):
+        the rows that entered the table after snapshot ``from_version`` up
+        to ``to_version`` (default: current), with meta columns so deletes
+        surface as ``_is_delete`` tombstone rows, plus ``_change_version``
+        = the snapshot that committed each row. Lets a downstream consumer
+        tail the lake in O(delta), re-reading nothing — the same contract
+        the reference's consumers get from tailing the Kafka topic, but
+        replayable from the table itself.
+
+        Exactness per snapshot operation:
+        - ``append-merge`` / ``overwrite``: the snapshot's added files ARE
+          the delta (merge-on-read appends only new rows).
+        - ``merge`` (copy-on-write): added files are whole rewritten
+          buckets; the true delta is recovered with a left-anti join on
+          (pk, version, _is_delete) against those buckets' files in the
+          PREVIOUS snapshot — O(touched buckets), never O(table).
+        - maintenance snapshots (``compact``, ``set_properties``, DDL):
+          data-invariant, contribute nothing.
+
+        Granularity follows what each snapshot committed: append snapshots
+        without in-batch collapse carry EVERY versioned event row (the full
+        event-level change log); collapsed-append and upsert snapshots
+        carry one winner per key per snapshot, in ``_change_version`` order.
+        At-least-once duplicate deliveries the ingest appended are surfaced
+        verbatim (no extra dedup shuffle) — consumers converge by the same
+        LWW-on-version rule the table itself uses.
+        Raises if a needed manifest was expired (``expire_snapshots``) —
+        incremental reads require the retained-snapshot window, the
+        Iceberg contract."""
+        to_version = self.version if to_version is None else int(to_version)
+        if not from_version <= to_version <= self.version:
+            raise ValueError(
+                f"changes({from_version}, {to_version}) outside 0..{self.version}"
+            )
+        phys = _physical(self.schema)
+        out_cols = [f.name for f in phys.fields] + ["_change_version"]
+
+        def _manifest(v: int) -> dict:
+            path = self._meta_path(self.root, v)
+            if not os.path.exists(path):
+                raise ValueError(
+                    f"snapshot v{v} expired — incremental read needs the "
+                    f"retained window (expire_snapshots keep_last)"
+                )
+            with open(path) as f:
+                return json.load(f)
+
+        deltas: list[DataFrame] = []
+        prev = _manifest(from_version)
+        for v in range(from_version + 1, to_version + 1):
+            m = _manifest(v)
+            op = m["summary"].get("operation")
+            prev_by_path = {f["path"]: f for f in prev["files"]}
+            added = [f for f in m["files"] if f["path"] not in prev_by_path]
+            prev_files, prev_m = prev["files"], prev
+            prev = m
+            if op not in ("append-merge", "overwrite", "merge") or not added:
+                continue
+            delta = self._read_entries(added, phys)
+            if op == "merge":
+                touched = {f["bucket"] for f in added}
+                replaced = [f for f in prev_files if f["bucket"] in touched]
+                if replaced:
+                    old = self._read_entries(replaced, phys)
+                    if prev_m.get("properties", {}).get("needs_collapse"):
+                        # pre-CoW generations: identical (pk, version) rows
+                        # may repeat across files; dedup before the diff
+                        old = old.dropDuplicates(
+                            self.pk + self.version_cols + [IS_DELETE]
+                        )
+                    delta = delta.join(
+                        old,
+                        on=self.pk + self.version_cols + [IS_DELETE],
+                        how="left_anti",
+                    )
+            deltas.append(delta.withColumn("_change_version", F.lit(v).cast("long")))
+        if not deltas:
+            return self.spark.createDataFrame(
+                [], T.StructType(phys.fields + [T.StructField("_change_version", T.LongType())])
+            )
+        out = deltas[0]
+        for d in deltas[1:]:
+            out = out.unionByName(d)
+        return out.select(*out_cols)
 
     # ------------------------------------------------------------- write
     def _write_txn(
@@ -405,6 +579,11 @@ class LakeTable:
                             # planning (compact strategy choice) without a
                             # data scan
                             "rows": _parquet_rows(fpath),
+                            # PK zone map (lower/upper bounds): files are
+                            # pk-sorted within partitions, so ranges are
+                            # tight; lets lookup() skip files inside the
+                            # owning bucket too
+                            "stats": _parquet_col_ranges(fpath, self.pk),
                         }
                     )
         return entries

@@ -231,3 +231,88 @@ def test_upsert_broadcast_merge_matches_classic(spark, feed, oracle_state, tmp_p
         states[label] = sorted(tuple(r) for r in t2.current().collect())
     assert states["classic"] == states["broadcast"]
     assert len(states["classic"]) == len(oracle_state)
+
+
+def test_lookup_is_bucket_pruned_and_correct(spark, feed, oracle_state, tmp_path):
+    """PK point lookup returns exactly the oracle's rows for those keys AND
+    reads only the owning buckets' files (manifest pruning), not the table."""
+    table = _engine_state(spark, feed, tmp_path, n_batches=3)
+    keys = sorted(oracle_state)[:3]
+    got = table.lookup([{"repo": r, "path": p} for r, p in keys]).collect()
+    assert sorted((r["repo"], r["path"]) for r in got) == keys
+    for r in got:
+        assert r["content"] == oracle_state[(r["repo"], r["path"])]["content"]
+    # pruning: the lookup plan reads a strict subset of the table's files
+    all_files = set(table.current().inputFiles())
+    touched = set(table.lookup([{"repo": keys[0][0], "path": keys[0][1]}]).inputFiles())
+    assert touched and touched < all_files
+    # zone maps: every written file carries PK lower/upper bounds, and the
+    # files the lookup touched all range-cover the key
+    assert all(
+        e.get("stats") and set(e["stats"]) == {"repo", "path"}
+        for e in table.manifest["files"]
+    )
+    r0, p0 = keys[0]
+    for e in table.manifest["files"]:
+        if any(t.endswith(e["path"]) for t in touched):
+            st = e["stats"]
+            assert st["repo"][0] <= r0 <= st["repo"][1]
+            assert st["path"][0] <= p0 <= st["path"][1]
+    # a key that does not exist returns no rows (and scans ≤1 bucket)
+    assert table.lookup([{"repo": "no-such-repo", "path": "nope"}]).count() == 0
+    # DataFrame-typed key set works too
+    kdf = spark.createDataFrame([keys[0]], "repo string, path string")
+    assert table.lookup(kdf).count() == 1
+
+
+def _merge_batch(table, feed, lo, hi, fence):
+    events = decode_feed(feed.filter((F.col("offset") >= lo) & (F.col("offset") < hi)),
+                         inject={"commit": "commit"})
+    rows, _ = events_to_rows(events, table.schema, table.pk)
+    table.merge(rows, fence=fence)
+
+
+def test_changes_incremental_read(spark, feed, tmp_path):
+    """changes(v1, v2) returns exactly the rows committed in the window —
+    tombstones included — for BOTH physical merge modes, reading O(delta)."""
+    for mode in ("append", "upsert"):
+        root = str(tmp_path / f"cdf_{mode}")
+        t = LakeTable.create(
+            spark, root, REPO_SCHEMA, pk=["repo", "path"],
+            version_cols=["commit", "_offset"], n_buckets=8,
+            properties={"merge_mode": mode},
+        )
+        per = N_EVENTS // 3
+        _merge_batch(t, feed, 0, per, ("cdf", 0))
+        v1 = t.version
+        _merge_batch(t, feed, per, 2 * per, ("cdf", 1))
+        _merge_batch(t, feed, 2 * per, N_EVENTS, ("cdf", 2))
+        v3 = t.version
+
+        # expected granularity follows the snapshot's commit: append mode
+        # (no in-batch collapse) appends EVERY event row — the full change
+        # log; upsert commits one winner per key per snapshot
+        from collections import Counter
+
+        from cds_spark.operators.dedup import lww_collapse
+
+        def key(r):
+            return (r["repo"], r["path"], r["commit"], int(r["_offset"]), bool(r["_is_delete"]))
+
+        # multiset compare: the feed's at-least-once duplicate deliveries are
+        # physically appended in append mode and must surface verbatim
+        exp = Counter()
+        for lo, hi in ((per, 2 * per), (2 * per, N_EVENTS)):
+            b = decode_feed(feed.filter((F.col("offset") >= lo) & (F.col("offset") < hi)),
+                            inject={"commit": "commit"})
+            br, _ = events_to_rows(b, t.schema, t.pk)
+            if mode == "upsert":
+                br = lww_collapse(br, t.pk, t.version_cols)
+            exp.update(key(r) for r in br.collect())
+
+        got = t.changes(v1, v3).collect()
+        assert Counter(key(r) for r in got) == exp, f"mode={mode}: delta mismatch"
+        # _change_version is within the window
+        assert all(v1 < r["_change_version"] <= v3 for r in got)
+        # empty window
+        assert t.changes(v3, v3).count() == 0
