@@ -196,6 +196,41 @@ def cmd_expire(args) -> int:
     return 0
 
 
+def cmd_lookup(args) -> int:
+    from cds_spark.lake.table import LakeTable
+
+    table = LakeTable.load(_spark(args), args.root)
+    keys = []
+    for k in args.key:
+        d = {}
+        for part in k.split(","):
+            c, _, v = part.partition("=")
+            d[c.strip()] = v
+        missing = [c for c in table.pk if c not in d]
+        if missing:
+            raise SystemExit(f"--key must set every PK column; missing {missing}")
+        keys.append(d)
+    rows = [json.loads(s) for s in table.lookup(keys).toJSON().collect()]
+    print(json.dumps(rows, indent=2))
+    return 0
+
+
+def cmd_changes(args) -> int:
+    from cds_spark.lake.table import LakeTable
+
+    table = LakeTable.load(_spark(args), args.root)
+    df = table.changes(args.from_version, args.to_version)
+    if args.out:
+        # distributed write: never collects; the downstream-consumer path
+        df.write.parquet(args.out, mode="errorifexists")
+        print(json.dumps({"root": table.root, "from": args.from_version,
+                          "to": args.to_version or table.version, "out": args.out}))
+    else:
+        for s in df.limit(args.limit).toJSON().collect():
+            print(s)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="cds-spark", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -264,6 +299,24 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--orphan-age-s", type=float, default=86400.0,
                     help="also remove unreferenced txn dirs older than this")
     sp.set_defaults(fn=cmd_expire)
+
+    sp = sub.add_parser(
+        "lookup", help="PK point fetch routed to the owning bucket (O(keys))")
+    common(sp)
+    sp.add_argument("--key", action="append", required=True,
+                    help="repeatable: col=val[,col=val...] covering every PK column")
+    sp.set_defaults(fn=cmd_lookup)
+
+    sp = sub.add_parser(
+        "changes", help="incremental change read between snapshots (CDF analog)")
+    common(sp)
+    sp.add_argument("--from-version", type=int, required=True)
+    sp.add_argument("--to-version", type=int, default=None)
+    sp.add_argument("--out", default=None,
+                    help="write the delta as parquet here (distributed); "
+                         "default prints up to --limit JSON rows")
+    sp.add_argument("--limit", type=int, default=100)
+    sp.set_defaults(fn=cmd_changes)
     return p
 
 

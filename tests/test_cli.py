@@ -51,3 +51,35 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
     table = LakeTable.load(spark, root)
     assert table.manifest["summary"]["operation"] == "compact"
     assert table.current().count() > 0
+
+
+def test_cli_lookup_and_changes(spark, tmp_path, capsys):
+    root = str(tmp_path / "repos2")
+    topic = str(tmp_path / "topic2")
+    _run(capsys, [
+        "create-table", "--root", root,
+        "--schema", "repo:string,path:string,commit:string,lang:string,content:string",
+        "--pk", "repo,path", "--version-cols", "commit,_offset", "--buckets", "8",
+    ])
+    feed = change_feed(spark, 400, n_repos=5, paths_per_repo=10, seed=9)
+    write_feed_files(feed, topic, 2)
+    _run(capsys, ["sync", "--root", root, "--job-id", "j2",
+                  "--source-dir", topic, "--checkpoint", str(tmp_path / "ck2"), "--once"])
+    table = LakeTable.load(spark, root)
+    r = table.current().select("repo", "path", "content").first()
+
+    rows = json.loads(_run(capsys, [
+        "lookup", "--root", root, "--key", f"repo={r['repo']},path={r['path']}",
+    ]))
+    assert len(rows) == 1 and rows[0]["content"] == r["content"]
+
+    out = _run(capsys, ["changes", "--root", root, "--from-version", "1", "--limit", "5"])
+    lines = [json.loads(s) for s in out.splitlines() if s.strip()]
+    assert 0 < len(lines) <= 5 and all("_change_version" in x for x in lines)
+
+    delta_dir = str(tmp_path / "delta_out")
+    meta = json.loads(_run(capsys, [
+        "changes", "--root", root, "--from-version", "1", "--out", delta_dir,
+    ]))
+    assert meta["out"] == delta_dir
+    assert spark.read.parquet(delta_dir).count() > 0
