@@ -231,6 +231,15 @@ def cmd_changes(args) -> int:
     return 0
 
 
+def cmd_cascade(args) -> int:
+    from cds_spark.streaming.pipeline import cascade_sync
+
+    r = cascade_sync(_spark(args), args.src_root, args.root, args.job_id,
+                     n_buckets=args.buckets)
+    print(json.dumps(r))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="cds-spark", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -317,6 +326,16 @@ def build_parser() -> argparse.ArgumentParser:
                          "default prints up to --limit JSON rows")
     sp.add_argument("--limit", type=int, default=100)
     sp.set_defaults(fn=cmd_changes)
+
+    sp = sub.add_parser(
+        "cascade", help="lake-to-lake incremental sync: tail an upstream "
+                        "table's snapshots into this one (O(delta) per run)")
+    common(sp)
+    sp.add_argument("--src-root", required=True, help="upstream lake table root")
+    sp.add_argument("--job-id", required=True)
+    sp.add_argument("--buckets", type=int, default=None,
+                    help="bucket count if this run creates the destination")
+    sp.set_defaults(fn=cmd_cascade)
     return p
 
 

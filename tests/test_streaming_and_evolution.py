@@ -541,3 +541,65 @@ def test_pipeline_auto_maintenance(spark, tmp_path):
     # generations bounded: after the last tick no bucket is deeper than
     # the threshold + batches since that tick
     assert max(t.bucket_generations().values()) <= 1 + 2
+
+
+def test_cascade_sync_lake_to_lake(spark, tmp_path):
+    """Downstream table tails the upstream via changes(): bootstrap, O(delta)
+    increments, idempotent re-run, schema-evolution propagation, and the
+    full-refresh fallback when the cursor falls off the retained window."""
+    from cds_spark.streaming.pipeline import cascade_sync
+
+    src_root = str(tmp_path / "src")
+    dst_root = str(tmp_path / "dst")
+    src = LakeTable.create(
+        spark, src_root, REPO_SCHEMA, pk=["repo", "path"],
+        version_cols=["commit", "_offset"], n_buckets=8,
+        properties={"merge_mode": "append"},
+    )
+
+    def push(lo, hi, fence_n):
+        feed = change_feed(spark, hi - lo, n_repos=6, paths_per_repo=8, seed=5,
+                           start_offset=lo)
+        events = decode_feed(feed, inject={"commit": "commit"})
+        rows, _ = events_to_rows(events, src.schema, src.pk)
+        src.merge(rows, fence=("up", fence_n))
+
+    def states_equal():
+        cols = ["repo", "path", "commit", "lang", "content"]
+        s = sorted(tuple(r) for r in src.current().select(*cols).collect())
+        d = sorted(tuple(r) for r in LakeTable.load(spark, dst_root)
+                   .current().select(*cols).collect())
+        assert s == d and len(s) > 0
+
+    push(0, 800, 0)
+    r = cascade_sync(spark, src_root, dst_root, "cas")
+    assert r["applied"] == "bootstrap"
+    states_equal()
+
+    push(800, 1400, 1)
+    push(1400, 1800, 2)
+    r = cascade_sync(spark, src_root, dst_root, "cas")
+    assert isinstance(r["applied"], int) and r["applied"] > 0 and not r["skipped"]
+    states_equal()
+
+    r = cascade_sync(spark, src_root, dst_root, "cas")
+    assert r["skipped"]
+    states_equal()
+
+    # upstream schema evolution propagates
+    import pyspark.sql.types as T
+    src.alter_add_columns([T.StructField("stars", T.LongType(), True)])
+    push(1800, 2000, 3)
+    r = cascade_sync(spark, src_root, dst_root, "cas")
+    assert not r["skipped"]
+    dst = LakeTable.load(spark, dst_root)
+    assert "stars" in [f.name for f in dst.schema.fields]
+    states_equal()
+
+    # retained window lost -> full refresh
+    push(2000, 2300, 4)
+    push(2300, 2600, 5)
+    src.expire_snapshots(keep_last=1)
+    r = cascade_sync(spark, src_root, dst_root, "cas")
+    assert r["applied"] == "full-refresh"
+    states_equal()
