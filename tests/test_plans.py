@@ -127,3 +127,30 @@ def test_decontaminate_broadcasts_benchmark(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_lookup_plan_broadcast_semi_no_wide_shuffle(spark, tmp_path):
+    """lookup(): the key set must broadcast (semi join) and the plan must
+    not contain a sort-merge join or an exchange of the table side."""
+    from cds_spark.lake.table import LakeTable
+    from cds_spark.operators.decode import decode_feed, events_to_rows
+    from cds_spark.sources.feed import REPO_SCHEMA, change_feed
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "lkp"), REPO_SCHEMA, pk=["repo", "path"],
+        version_cols=["commit", "_offset"], n_buckets=8,
+    )
+    feed = change_feed(spark, 300, n_repos=4, paths_per_repo=6, seed=2)
+    rows, _ = events_to_rows(
+        decode_feed(feed, inject={"commit": "commit"}), t.schema, t.pk
+    )
+    t.merge(rows, fence=("p", 0))
+    k = t.current().select("repo", "path").first()
+    df = t.lookup([{"repo": k["repo"], "path": k["path"]}])
+    import io as _io, contextlib as _ctx
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
