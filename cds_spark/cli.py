@@ -138,6 +138,7 @@ def cmd_status(args) -> int:
         "schema_id": table.manifest["schema_id"],
         "n_buckets": table.n_buckets,
         "n_files": len(table.manifest["files"]),
+        "stats": table.stats(),
         "summary": table.manifest.get("summary", {}),
         "fences": {k: v for k, v in table.properties.items() if k.startswith("fence.")},
     }

@@ -528,7 +528,12 @@ class LakeTable:
 
     # ------------------------------------------------------------- write
     def _write_txn(
-        self, df: DataFrame, txn_name: str, n_partitions: int, collapsed: bool = False
+        self,
+        df: DataFrame,
+        txn_name: str,
+        n_partitions: int,
+        collapsed: bool = False,
+        n_buckets_hint: int | None = None,
     ) -> list[dict]:
         """Write df (must contain ``_bucket``) partitioned by bucket under a
         fresh txn dir; return manifest file entries.
@@ -544,7 +549,12 @@ class LakeTable:
         compact) absorb by design. salt_n targets ~4 shuffle keys per write
         partition, so file count stays bounded."""
         n_partitions = max(1, n_partitions)
-        salt_n = max(1, (4 * n_partitions + self.n_buckets - 1) // self.n_buckets)
+        # salt relative to the buckets PRESENT in df (n_buckets_hint): an
+        # incremental compact of 3 buckets from a 64-bucket table would
+        # otherwise get salt_n=1 -> 3 shuffle keys -> 3 tasks no matter how
+        # many cores or how big the buckets
+        n_in_df = n_buckets_hint or self.n_buckets
+        salt_n = max(1, (4 * n_partitions + n_in_df - 1) // n_in_df)
         salt = F.pmod(
             F.xxhash64(F.lit(1), F.col(OFFSET), *[F.col(c) for c in self.pk]),
             F.lit(salt_n),
@@ -579,6 +589,7 @@ class LakeTable:
                             # planning (compact strategy choice) without a
                             # data scan
                             "rows": _parquet_rows(fpath),
+                            "bytes": os.path.getsize(fpath),
                             # PK zone map (lower/upper bounds): files are
                             # pk-sorted within partitions, so ranges are
                             # tight; lets lookup() skip files inside the
@@ -798,6 +809,25 @@ class LakeTable:
         return int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     # -------------------------------------------------------- maintenance
+    def stats(self) -> dict:
+        """Table-level stats from manifest metadata only — no data scan, so
+        it stays O(manifest) at any table size (the ops-dashboard surface;
+        row counts are exact because every commit records per-file footer
+        counts). ``live_rows`` is NOT derivable without a scan when
+        tombstones/generations exist; ``rows`` here is physical rows."""
+        files = self.manifest["files"]
+        gens = self.bucket_generations()
+        return {
+            "version": self.version,
+            "n_files": len(files),
+            "rows": sum(int(f.get("rows") or 0) for f in files),
+            "bytes": sum(int(f.get("bytes") or 0) for f in files),
+            "n_buckets": self.n_buckets,
+            "dirty_buckets": len(self._dirty_buckets()),
+            "max_generations": max(gens.values(), default=0),
+            "needs_collapse": bool(self.properties.get("needs_collapse")),
+        }
+
     def bucket_generations(self) -> dict[int, int]:
         """Row generations per bucket = distinct write txns contributing
         files to it (derived from the manifest — no extra metadata).
@@ -919,10 +949,30 @@ class LakeTable:
         df = df.withColumn("_bucket", self._bucket_expr())
         if purge_tombstones:
             df = df.filter(~F.col(IS_DELETE))
-        n_parts = max(1, min(len(sel), self._n_write_parts()))
+        # size-aware write width: at scale the rewrite must bound OUTPUT
+        # file size (a 10GB bucket as one file breaks task-level
+        # parallelism for every later read), so the partition count also
+        # scales with the selected bytes / target_file_bytes — estimated
+        # from manifest stats, an upper bound since collapse only shrinks
+        sel_set_est = set(sel)
+        def _fsize(f: dict) -> int:
+            if f.get("bytes"):
+                return int(f["bytes"])
+            try:  # entries from before byte stats were recorded
+                return os.path.getsize(os.path.join(self.root, f["path"]))
+            except OSError:
+                return 0
+
+        est_bytes = sum(
+            _fsize(f) for f in self.manifest["files"] if f["bucket"] in sel_set_est
+        )
+        target = int(self.properties.get("target_file_bytes", 128 << 20))
+        size_parts = (est_bytes + target - 1) // target if est_bytes else 1
+        n_parts = max(1, min(len(sel), self._n_write_parts()), size_parts)
         try:
             entries = self._write_txn(
-                df, self._txn_name("-compact"), n_parts, collapsed=True
+                df, self._txn_name("-compact"), n_parts, collapsed=True,
+                n_buckets_hint=len(sel),
             )
         finally:
             if winners is not None:

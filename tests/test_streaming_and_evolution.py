@@ -603,3 +603,53 @@ def test_cascade_sync_lake_to_lake(spark, tmp_path):
     r = cascade_sync(spark, src_root, dst_root, "cas")
     assert r["applied"] == "full-refresh"
     states_equal()
+
+
+def test_compact_bounds_output_file_size(spark, tmp_path):
+    """Size-aware compact: output width scales with selected bytes /
+    target_file_bytes, so a big bucket is rewritten as several
+    target-sized files, not one unbounded file."""
+    root = str(tmp_path / "szc")
+    t = LakeTable.create(
+        spark, root, REPO_SCHEMA, pk=["repo", "path"],
+        version_cols=["commit", "_offset"], n_buckets=2,
+        properties={"merge_mode": "append", "target_file_bytes": 262_144},
+    )
+    for i in range(3):
+        feed = change_feed(spark, 1500, n_repos=4, paths_per_repo=50, seed=31 + i,
+                           start_offset=1500 * i)
+        rows, _ = events_to_rows(
+            decode_feed(feed, inject={"commit": "commit"}), t.schema, t.pk
+        )
+        t.merge(rows, fence=("szc", i))
+    before = sorted(tuple(r) for r in t.current().collect())
+    sel_bytes = sum(int(f["bytes"]) for f in t.manifest["files"])
+    assert sel_bytes > 262_144  # the premise: more data than one target file
+    t.compact()
+    per_bucket = {}
+    for f in t.manifest["files"]:
+        per_bucket.setdefault(f["bucket"], []).append(f)
+    assert all(len(fs) > 1 for fs in per_bucket.values()), per_bucket
+    assert all(int(f["bytes"]) > 0 for fs in per_bucket.values() for f in fs)
+    after = sorted(tuple(r) for r in t.current().collect())
+    assert before == after
+
+
+def test_table_stats_manifest_only(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "st"), REPO_SCHEMA, pk=["repo", "path"],
+        version_cols=["commit", "_offset"], n_buckets=4,
+        properties={"merge_mode": "append"},
+    )
+    feed = change_feed(spark, 400, n_repos=4, paths_per_repo=10, seed=41)
+    rows, _ = events_to_rows(
+        decode_feed(feed, inject={"commit": "commit"}), t.schema, t.pk
+    )
+    t.merge(rows, fence=("st", 0))
+    s = t.stats()
+    assert s["rows"] == t.read(live_only=False, with_meta=True, collapse=False).count()
+    assert s["bytes"] > 0 and s["n_files"] > 0
+    assert s["needs_collapse"] and s["dirty_buckets"] >= 0
+    t.compact()
+    s2 = t.stats()
+    assert not s2["needs_collapse"] and s2["max_generations"] == 1
