@@ -828,24 +828,23 @@ class LakeTable:
             "needs_collapse": bool(self.properties.get("needs_collapse")),
         }
 
-    def bucket_generations(self) -> dict[int, int]:
+    def bucket_generations(self, files: Sequence[dict] | None = None) -> dict[int, int]:
         """Row generations per bucket = distinct write txns contributing
         files to it (derived from the manifest — no extra metadata).
         Append-mode merges add one generation per touched bucket per batch."""
         gens: dict[int, set[str]] = {}
-        for f in self.manifest["files"]:
+        for f in self.manifest["files"] if files is None else files:
             txn = f["path"].split(os.sep)[1] if os.sep in f["path"] else f["path"]
             gens.setdefault(int(f["bucket"]), set()).add(txn)
         return {b: len(t) for b, t in gens.items()}
 
-    def _dirty_buckets(self) -> set[int]:
+    def _dirty_buckets(self, files: Sequence[dict] | None = None) -> set[int]:
         """Buckets NOT fully collapsed on disk: more than one generation,
         or any file written without the LWW collapse (an uncollapsed append
         batch can hold several versions of a key within ONE generation)."""
-        gens = self.bucket_generations()
-        uncollapsed = {
-            int(f["bucket"]) for f in self.manifest["files"] if not f.get("collapsed")
-        }
+        fl = self.manifest["files"] if files is None else files
+        gens = self.bucket_generations(fl)
+        uncollapsed = {int(f["bucket"]) for f in fl if not f.get("collapsed")}
         return {b for b, g in gens.items() if g > 1} | uncollapsed
 
     def _collapse_via_winners(
@@ -931,6 +930,12 @@ class LakeTable:
             sel = sorted(gens)
         if not sel:
             return []
+        # exactly the files this compact consumes — the rebase-retry below
+        # must drop these (and ONLY these) from whatever manifest is
+        # current at commit time
+        input_paths = {
+            f["path"] for f in self.manifest["files"] if f["bucket"] in set(sel)
+        }
         winners = None
         if self.properties.get("needs_collapse") and winner_broadcast_rows:
             # collapse strategy choice: the classic path shuffles every
@@ -977,16 +982,32 @@ class LakeTable:
         finally:
             if winners is not None:
                 winners.unpersist()
-        m = self._next_manifest(
-            {"operation": "compact", "purged": purge_tombstones, "buckets": len(sel)}
-        )
-        sel_set = set(sel)
-        m["files"] = [f for f in self.manifest["files"] if f["bucket"] not in sel_set] + entries
-        # reads may skip the LWW window only once NO bucket is dirty
-        # (rewritten buckets are now single-generation collapsed)
-        m["properties"]["needs_collapse"] = bool(self._dirty_buckets() - sel_set)
-        self._commit(m)
-        return sel
+        # Commit with CAS rebase-retry: maintenance must never block (or be
+        # blocked by) the ingest writer — the ClickHouse background-merge
+        # contract. On conflict, reload the latest manifest and re-derive
+        # the file list: drop exactly the input files this compact
+        # consumed, keep everything committed concurrently (new append
+        # generations land on top of the compacted one; LWW absorbs the
+        # overlap, including a racing double-compact's duplicate rewrite).
+        summary = {"operation": "compact", "purged": purge_tombstones,
+                   "buckets": len(sel)}
+        for attempt in range(6):
+            m = self._next_manifest(summary)
+            new_files = [
+                f for f in self.manifest["files"] if f["path"] not in input_paths
+            ] + entries
+            m["files"] = new_files
+            # reads may skip the LWW window only once NO bucket is dirty
+            m["properties"]["needs_collapse"] = bool(self._dirty_buckets(new_files))
+            try:
+                self._commit(m)
+                return sel
+            except RuntimeError:
+                with open(
+                    self._meta_path(self.root, self._current_version(self.root))
+                ) as fh:
+                    self.manifest = json.load(fh)
+        raise RuntimeError("compact: lost the manifest CAS race 6 times in a row")
 
     def expire_snapshots(self, keep_last: int = 2) -> dict:
         """Iceberg ``expire_snapshots`` analog (ClickHouse: inactive-part GC

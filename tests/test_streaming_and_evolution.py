@@ -653,3 +653,52 @@ def test_table_stats_manifest_only(spark, tmp_path):
     t.compact()
     s2 = t.stats()
     assert not s2["needs_collapse"] and s2["max_generations"] == 1
+
+
+def test_compact_survives_concurrent_ingest_commit(spark, tmp_path):
+    """Background-merge contract: a compact that loses the manifest CAS to
+    a concurrent ingest commit rebases and retries — the final table keeps
+    BOTH the compacted rewrite and the concurrently-landed batch, and LWW
+    still resolves the true winners."""
+    root = str(tmp_path / "ccomp")
+    t_ing = LakeTable.create(
+        spark, root, REPO_SCHEMA, pk=["repo", "path"],
+        version_cols=["commit", "_offset"], n_buckets=4,
+        properties={"merge_mode": "append"},
+    )
+
+    def rows_for(lo, hi, seed):
+        feed = change_feed(spark, hi - lo, n_repos=4, paths_per_repo=8,
+                           seed=seed, start_offset=lo)
+        r, _ = events_to_rows(
+            decode_feed(feed, inject={"commit": "commit"}), t_ing.schema, t_ing.pk
+        )
+        return r
+
+    t_ing.merge(rows_for(0, 600, 13), fence=("ing", 0))
+    t_ing.merge(rows_for(600, 1200, 13), fence=("ing", 1))
+
+    # compactor handle loads the v3 manifest...
+    t_cmp = LakeTable.load(spark, root)
+    # ...then the ingest writer lands another batch, advancing the manifest
+    t_ing = LakeTable.load(spark, root)
+    t_ing.merge(rows_for(1200, 1800, 13), fence=("ing", 2))
+
+    done = t_cmp.compact()  # CAS conflict -> rebase-retry
+    assert done  # did not abort
+
+    final = LakeTable.load(spark, root)
+    # the concurrent batch's files survived the compact commit
+    assert final.stats()["needs_collapse"]
+    # state equality vs a straight-line replay of all 1800 events
+    ref_root = str(tmp_path / "ref")
+    t_ref = LakeTable.create(
+        spark, ref_root, REPO_SCHEMA, pk=["repo", "path"],
+        version_cols=["commit", "_offset"], n_buckets=4,
+        properties={"merge_mode": "append"},
+    )
+    t_ref.merge(rows_for(0, 1800, 13), fence=("ref", 0))
+    cols = ["repo", "path", "commit", "lang", "content"]
+    got = sorted(tuple(r) for r in final.current().select(*cols).collect())
+    exp = sorted(tuple(r) for r in t_ref.current().select(*cols).collect())
+    assert got == exp and len(got) > 0
