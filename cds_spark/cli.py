@@ -177,6 +177,7 @@ def cmd_compact(args) -> int:
 
     table = LakeTable.load(_spark(args), args.root)
     done = table.compact(
+        buckets=[int(b) for b in args.buckets.split(",")] if args.buckets else None,
         max_generations=args.max_generations,
         purge_tombstones=args.purge_tombstones,
     )
@@ -298,6 +299,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--max-generations", type=int, default=None,
                     help="incremental: rewrite only buckets above this many "
                          "row generations (default: all buckets)")
+    sp.add_argument("--buckets", default=None,
+                    help="comma-separated explicit bucket subset to rewrite "
+                         "(for sharding maintenance across parallel jobs)")
     sp.set_defaults(fn=cmd_compact)
 
     sp = sub.add_parser(

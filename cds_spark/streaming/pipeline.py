@@ -483,6 +483,18 @@ def cascade_sync(
     later compact purge stays consistent) seeds the destination, fenced at
     the upstream's current version. Returns {applied, from, to, skipped}.
     """
+    t0 = time.time()
+
+    def _log(dst_root_: str, rec: dict) -> None:
+        # same lineage JSONL convention as IncrementalSync: the cascade is
+        # a sync job too, status/monitoring reads it identically
+        ldir = os.path.join(dst_root_, "_lineage")
+        os.makedirs(ldir, exist_ok=True)
+        with open(os.path.join(ldir, f"{job_id}.jsonl"), "a") as f:
+            f.write(json.dumps({**rec, "job_id": job_id,
+                                "duration_s": round(time.time() - t0, 3),
+                                "ts": time.time()}) + "\n")
+
     src = LakeTable.load(spark, src_root)
     if not LakeTable.exists(dst_root):
         dst = LakeTable.create(
@@ -493,8 +505,10 @@ def cascade_sync(
         )
         full = src.read(live_only=False, with_meta=True, collapse=True)
         dst.merge(full, fence=(job_id, src.version), precollapsed=True)
-        return {"applied": "bootstrap", "from": 0, "to": src.version,
-                "skipped": False}
+        rec = {"applied": "bootstrap", "from": 0, "to": src.version,
+               "skipped": False}
+        _log(dst_root, rec)
+        return rec
     dst = LakeTable.load(spark, dst_root)
     last = dst.properties.get(f"fence.{job_id}")
     if last is None:
@@ -504,7 +518,7 @@ def cascade_sync(
         )
     from_v = int(last)
     if from_v >= src.version:
-        return {"applied": 0, "from": from_v, "to": src.version, "skipped": True}
+        return {"applied": 0, "from": from_v, "to": src.version, "skipped": True}  # no-op: not logged
     # propagate upstream schema evolution (column add / widen) before apply —
     # the delta is aligned to the upstream's CURRENT schema
     dst_fields = {f.name: f for f in dst.schema.fields}
@@ -527,5 +541,7 @@ def cascade_sync(
         full = src.read(live_only=False, with_meta=True, collapse=True)
         stats = dst.overwrite(full, fence=(job_id, src.version))
         applied = "full-refresh"
-    return {"applied": applied, "from": from_v, "to": src.version,
-            "skipped": stats.skipped}
+    rec = {"applied": applied, "from": from_v, "to": src.version,
+           "skipped": stats.skipped}
+    _log(dst_root, rec)
+    return rec

@@ -702,3 +702,31 @@ def test_compact_survives_concurrent_ingest_commit(spark, tmp_path):
     got = sorted(tuple(r) for r in final.current().select(*cols).collect())
     exp = sorted(tuple(r) for r in t_ref.current().select(*cols).collect())
     assert got == exp and len(got) > 0
+
+
+def test_cascade_writes_lineage(spark, tmp_path):
+    from cds_spark.streaming.pipeline import cascade_sync
+
+    src_root, dst_root = str(tmp_path / "ls"), str(tmp_path / "ld")
+    t = LakeTable.create(
+        spark, src_root, REPO_SCHEMA, pk=["repo", "path"],
+        version_cols=["commit", "_offset"], n_buckets=4,
+        properties={"merge_mode": "append"},
+    )
+    feed = change_feed(spark, 300, n_repos=3, paths_per_repo=6, seed=61)
+    rows, _ = events_to_rows(
+        decode_feed(feed, inject={"commit": "commit"}), t.schema, t.pk
+    )
+    t.merge(rows, fence=("u", 0))
+    cascade_sync(spark, src_root, dst_root, "casl")
+    feed = change_feed(spark, 200, n_repos=3, paths_per_repo=6, seed=61, start_offset=300)
+    rows, _ = events_to_rows(
+        decode_feed(feed, inject={"commit": "commit"}), t.schema, t.pk
+    )
+    t.merge(rows, fence=("u", 1))
+    cascade_sync(spark, src_root, dst_root, "casl")
+    path = os.path.join(dst_root, "_lineage", "casl.jsonl")
+    recs = [json.loads(x) for x in open(path)]
+    assert len(recs) == 2
+    assert recs[0]["applied"] == "bootstrap" and isinstance(recs[1]["applied"], int)
+    assert all("duration_s" in r and r["job_id"] == "casl" for r in recs)
