@@ -960,11 +960,93 @@ FROM documents
 """
 
 
+def q_asof_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase event, the user's latest error event at or
+    before it (backward as-of join — the enrichment shape Spark has no
+    native operator for; `operators/timeseries.asof_join` is the
+    one-shuffle union/window form, oracle'd against DuckDB's native
+    ASOF LEFT JOIN). Right side pre-aggregated per (user, ts) so the tie
+    rule is engine-independent."""
+    from cds_spark.operators.timeseries import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("err_id"))
+    )
+    j = asof_join(purchases, errors, on="user_id", right_cols=["err_id"])
+    return j.select(
+        "purchase_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "err_id",
+        F.unix_micros(F.col("ts_r").cast("timestamp")).alias("err_ts_us"),
+    )
+
+
+ORACLE_ASOF_ERRCTX = """
+SELECT l.event_id AS purchase_id, l.user_id,
+       epoch_us(l.ts) AS ts_us, r.err_id,
+       epoch_us(r.ts) AS err_ts_us
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (
+    SELECT user_id, ts, max(event_id) AS err_id
+    FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+) r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) + per-session rollup —
+    the batch/backfill twin of Structured Streaming's session_window
+    (`operators/timeseries.sessionize`: lag → gap flag → running sum, one
+    key shuffle)."""
+    from cds_spark.operators.timeseries import sessionize
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    s = sessionize(ev, key="user_id", ts="ts", gap_s=1800.0, order_cols=["event_id"])
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("start_us"),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("end_us"),
+        # integer cents, not a double sum: FP addition is order-dependent
+        # across partitionings, exact integers hash identically everywhere
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+    )
+
+
+ORACLE_SESSIONS = """
+WITH o AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+                THEN 1 ELSE 0 END AS ns
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+    SELECT user_id, event_id, ts, value,
+           CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+    FROM o
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+       SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+FROM s GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "asof_error_context": q_asof_error_context,
+    "event_sessions": q_event_sessions,
     "cdc_lww_current_state": q_cdc_lww_current_state,
     "cdc_lww_tombstone_state": q_cdc_lww_tombstone_state,
     "cdc_op_normalize_counts": q_cdc_op_normalize_counts,
@@ -1008,6 +1090,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "asof_error_context": ORACLE_ASOF_ERRCTX,
+    "event_sessions": ORACLE_SESSIONS,
     "cdc_lww_current_state": ORACLE_LWW_CURRENT,
     "cdc_lww_tombstone_state": ORACLE_LWW_TOMBSTONE,
     "cdc_op_normalize_counts": ORACLE_OP_COUNTS,

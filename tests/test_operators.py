@@ -480,3 +480,54 @@ def test_split_and_sample_are_deterministic_pure_functions(spark):
     z = weighted_sample(docs, {src: 0})
     assert z.filter(F.col("source") == src).count() == 0
     assert z.count() == docs.filter(F.col("source") != src).count()
+
+
+def test_asof_join_semantics(spark):
+    """Backward match, exact-ts inclusion, no-match NULLs, tolerance cutoff."""
+    from cds_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 10.0, 1), ("a", 20.0, 2), ("b", 5.0, 3), ("c", 9.0, 4)],
+        "k string, t double, lid int",
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "lid")
+    right = spark.createDataFrame(
+        [("a", 10.0, 100), ("a", 15.0, 101), ("b", 6.0, 102)],
+        "k string, t double, rid int",
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "rid")
+
+    out = {r["lid"]: r for r in asof_join(left, right, on="k").collect()}
+    assert out[1]["rid"] == 100      # equal ts matches
+    assert out[2]["rid"] == 101      # latest <= 20 is 15
+    assert out[3]["rid"] is None     # right at 6 > left 5: no backward match
+    assert out[4]["rid"] is None     # key with no right rows
+    # tolerance: the 20s purchase may only look back 4s -> 15s row too old
+    out = {r["lid"]: r for r in asof_join(left, right, on="k", tolerance_s=4.0).collect()}
+    assert out[2]["rid"] is None and out[1]["rid"] == 100
+
+
+def test_asof_join_tie_rule(spark):
+    """Equal-ts right rows: greatest (right_cols...) tuple wins."""
+    from cds_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame([("a", 10.0, 1)], "k string, t double, lid int") \
+        .select("k", F.timestamp_seconds("t").alias("ts"), "lid")
+    right = spark.createDataFrame(
+        [("a", 10.0, 7), ("a", 10.0, 9), ("a", 10.0, 8)],
+        "k string, t double, rid int",
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "rid")
+    rows = asof_join(left, right, on="k").collect()
+    assert len(rows) == 1 and rows[0]["rid"] == 9
+
+
+def test_sessionize_gap_boundaries(spark):
+    from cds_spark.operators.timeseries import sessionize
+
+    df = spark.createDataFrame(
+        [("u", 0.0, 1), ("u", 1800.0, 2), ("u", 3600.5, 3), ("v", 9.0, 4)],
+        "k string, t double, eid int",
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "eid")
+    s = {r["eid"]: r["session_seq"]
+         for r in sessionize(df, key="k", ts="ts", gap_s=1800.0,
+                             order_cols=["eid"]).collect()}
+    # gap of exactly 1800 does NOT split (> rule); 1800.5 does
+    assert s[1] == 1 and s[2] == 1 and s[3] == 2 and s[4] == 1
