@@ -1040,12 +1040,36 @@ FROM s GROUP BY 1, 2
 """
 
 
+def q_cdc_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily x op change-volume rollup with subtotals + grand total
+    (ClickHouse `GROUP BY ... WITH ROLLUP` analog) — grouping-sets surface
+    over the normalized feed; gid disambiguates subtotal levels
+    identically in both engines (bitmask, first grouping col = MSB)."""
+    ch = _changes(spark, sf_dir).select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "op", "value"
+    )
+    return ch.rollup("day", "op").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+
+
+ORACLE_ROLLUP_DAILY = f"""
+SELECT strftime(ts, '%Y-%m-%d') AS day, {_OP_SQL} AS op, count(*) AS n_events,
+       SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+       CAST(GROUPING(strftime(ts, '%Y-%m-%d'), {_OP_SQL}) AS BIGINT) AS gid
+FROM events GROUP BY ROLLUP(1, 2)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_error_context": q_asof_error_context,
+    "cdc_rollup_daily": q_cdc_rollup_daily,
     "event_sessions": q_event_sessions,
     "cdc_lww_current_state": q_cdc_lww_current_state,
     "cdc_lww_tombstone_state": q_cdc_lww_tombstone_state,
@@ -1091,6 +1115,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "asof_error_context": ORACLE_ASOF_ERRCTX,
+    "cdc_rollup_daily": ORACLE_ROLLUP_DAILY,
     "event_sessions": ORACLE_SESSIONS,
     "cdc_lww_current_state": ORACLE_LWW_CURRENT,
     "cdc_lww_tombstone_state": ORACLE_LWW_TOMBSTONE,
