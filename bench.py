@@ -64,6 +64,9 @@ HEADLINE = [
     "text_weighted_sample",
     "multimodal_features",
     "multimodal_features_digest",
+    "asof_error_context",
+    "event_sessions",
+    "cdc_rollup_daily",
 ]
 
 
