@@ -233,6 +233,24 @@ def cmd_changes(args) -> int:
     return 0
 
 
+def cmd_sync_many(args) -> int:
+    from cds_spark.streaming.pipeline import JobSpec, run_many
+
+    with open(args.jobs) as f:
+        job_dicts = json.load(f)
+    if not isinstance(job_dicts, list) or not job_dicts:
+        raise SystemExit("--jobs must be a JSON array of JobSpec objects")
+    specs = [JobSpec(**d) for d in job_dicts]
+    spark = _spark(args)
+    run_many(spark, specs, trigger_once=args.once)
+    if not args.once:
+        # continuous mode: stay up while any stream lives (process-per-app
+        # like the reference's rtu daemon; ctrl-c / SIGTERM stops)
+        spark.streams.awaitAnyTermination()
+    print(json.dumps({"jobs": [s.job_id for s in specs], "done": args.once}))
+    return 0
+
+
 def cmd_cascade(args) -> int:
     from cds_spark.streaming.pipeline import cascade_sync
 
@@ -331,6 +349,15 @@ def build_parser() -> argparse.ArgumentParser:
                          "default prints up to --limit JSON rows")
     sp.add_argument("--limit", type=int, default=100)
     sp.set_defaults(fn=cmd_changes)
+
+    sp = sub.add_parser(
+        "sync-many", help="host several sync jobs in one Spark app "
+                          "(JSON array of JobSpec fields, the conf.json analog)")
+    sp.add_argument("--jobs", required=True, help="path to the jobs JSON file")
+    sp.add_argument("--once", action="store_true",
+                    help="drain available input then exit (AvailableNow)")
+    sp.add_argument("--cores", type=int, default=None)
+    sp.set_defaults(fn=cmd_sync_many)
 
     sp = sub.add_parser(
         "cascade", help="lake-to-lake incremental sync: tail an upstream "

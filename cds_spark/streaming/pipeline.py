@@ -26,6 +26,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from collections.abc import Sequence
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -545,3 +546,29 @@ def cascade_sync(
            "skipped": stats.skipped}
     _log(dst_root, rec)
     return rec
+
+
+def run_many(spark: SparkSession, specs: Sequence["JobSpec"], trigger_once: bool = True):
+    """Host several sync jobs in ONE Spark application — the deployment
+    shape a real cluster wants (the reference runs one OS process per
+    table job; Spark multiplexes N concurrent streaming queries over one
+    executor pool, so a database's tables share resources instead of each
+    reserving a silo).
+
+    Each job keeps its own checkpoint, fence namespace, lineage file and
+    target table, so failure isolation and exactly-once semantics are
+    per-job exactly as with separate processes. Jobs must target DISTINCT
+    tables (two writers on one table would fight the manifest CAS every
+    batch; use one job per table).
+
+    trigger_once=True drains all sources (AvailableNow) and returns after
+    every query terminates; otherwise returns the list of live queries."""
+    roots = [s.table_root for s in specs]
+    if len(set(roots)) != len(roots):
+        raise ValueError("run_many: each JobSpec must target a distinct table_root")
+    queries = [IncrementalSync(spark, s).start(trigger_once=trigger_once) for s in specs]
+    if not trigger_once:
+        return queries
+    for q in queries:
+        q.awaitTermination()
+    return None

@@ -83,3 +83,27 @@ def test_cli_lookup_and_changes(spark, tmp_path, capsys):
     ]))
     assert meta["out"] == delta_dir
     assert spark.read.parquet(delta_dir).count() > 0
+
+
+def test_cli_sync_many(spark, tmp_path, capsys):
+    jobs = []
+    for i in range(2):
+        root = str(tmp_path / f"smt{i}")
+        topic = str(tmp_path / f"smtop{i}")
+        _run(capsys, [
+            "create-table", "--root", root,
+            "--schema", "repo:string,path:string,commit:string,lang:string,content:string",
+            "--pk", "repo,path", "--version-cols", "commit,_offset", "--buckets", "4",
+        ])
+        feed = change_feed(spark, 300, n_repos=3, paths_per_repo=6, seed=70 + i)
+        write_feed_files(feed, topic, 2)
+        jobs.append({"job_id": f"sm{i}", "table_root": root, "source_dir": topic,
+                     "checkpoint_dir": str(tmp_path / f"smck{i}")})
+    jf = str(tmp_path / "jobs.json")
+    with open(jf, "w") as f:
+        json.dump(jobs, f)
+    out = json.loads(_run(capsys, ["sync-many", "--jobs", jf, "--once"]))
+    assert out == {"jobs": ["sm0", "sm1"], "done": True}
+    for i in range(2):
+        t = LakeTable.load(spark, str(tmp_path / f"smt{i}"))
+        assert t.current().count() > 0

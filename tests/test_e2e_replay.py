@@ -316,3 +316,29 @@ def test_changes_incremental_read(spark, feed, tmp_path):
         assert all(v1 < r["_change_version"] <= v3 for r in got)
         # empty window
         assert t.changes(v3, v3).count() == 0
+
+
+def test_changes_scans_only_delta_files(spark, feed, tmp_path):
+    """The incremental read must plan against the window's added files
+    only — never the whole table (manifest file-diff, no full scan)."""
+    root = str(tmp_path / "cdf_prune")
+    t = LakeTable.create(
+        spark, root, REPO_SCHEMA, pk=["repo", "path"],
+        version_cols=["commit", "_offset"], n_buckets=8,
+        properties={"merge_mode": "append"},
+    )
+    per = N_EVENTS // 3
+    _merge_batch(t, feed, 0, per, ("pr", 0))
+    v1 = t.version
+    _merge_batch(t, feed, per, 2 * per, ("pr", 1))
+    v2 = t.version
+    _merge_batch(t, feed, 2 * per, N_EVENTS, ("pr", 2))
+
+    m1 = {f["path"] for f in LakeTable.load(spark, root, version=v1).manifest["files"]}
+    m2 = {f["path"] for f in LakeTable.load(spark, root, version=v2).manifest["files"]}
+    added = m2 - m1
+    touched = set(t.changes(v1, v2).inputFiles())
+    # every planned input file is one of the window's added files
+    for f in touched:
+        assert any(f.endswith(p) for p in added), f
+    assert len(touched) == len(added)

@@ -730,3 +730,38 @@ def test_cascade_writes_lineage(spark, tmp_path):
     assert len(recs) == 2
     assert recs[0]["applied"] == "bootstrap" and isinstance(recs[1]["applied"], int)
     assert all("duration_s" in r and r["job_id"] == "casl" for r in recs)
+
+
+def test_run_many_syncs_two_tables_one_session(spark, tmp_path):
+    """Two sync jobs (distinct topics, tables, checkpoints) hosted in one
+    Spark app: both final states match their own pandas oracles, fences and
+    lineage stay per-job."""
+    from cds_spark.sources.feed import reference_replay_pandas, write_feed_files
+    from cds_spark.streaming.pipeline import IncrementalSync, JobSpec, run_many
+
+    specs, oracles = [], {}
+    for i, seed in enumerate((101, 202)):
+        feed = change_feed(spark, 1200, n_repos=6, paths_per_repo=10, seed=seed)
+        oracles[i] = reference_replay_pandas([r.asDict() for r in feed.collect()])
+        topic = str(tmp_path / f"topic{i}")
+        write_feed_files(feed, topic, 3)
+        root = str(tmp_path / f"tbl{i}")
+        LakeTable.create(
+            spark, root, REPO_SCHEMA, pk=["repo", "path"],
+            version_cols=["commit", "_offset"], n_buckets=8,
+            properties={"merge_mode": "append"},
+        )
+        specs.append(JobSpec(job_id=f"m{i}", table_root=root, source_dir=topic,
+                             checkpoint_dir=str(tmp_path / f"ck{i}"),
+                             max_files_per_trigger=2))
+    run_many(spark, specs)
+    for i in range(2):
+        t = LakeTable.load(spark, str(tmp_path / f"tbl{i}"))
+        live = {(r["repo"], r["path"]): r["content"] for r in t.current().collect()}
+        assert live == {k: v["content"] for k, v in oracles[i].items()}
+        assert f"fence.m{i}" in t.properties
+        assert os.path.exists(os.path.join(str(tmp_path / f"tbl{i}"), "_lineage", f"m{i}.jsonl"))
+    # distinct-target guard
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        run_many(spark, [specs[0], specs[0]])
