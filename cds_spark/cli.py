@@ -198,20 +198,37 @@ def cmd_expire(args) -> int:
     return 0
 
 
+def parse_key_spec(spec: str, pk: list[str]) -> dict:
+    """Parse one ``--key col=val,col=val`` spec. Values may contain commas
+    and '=' (file paths do): a ',' only terminates a value when what
+    follows is ANOTHER PK column assignment (``<pk-col>=``), so
+    ``repo=org/a,path=src/x,y=1.py`` keys on repo + the full path."""
+    import re
+
+    starts = sorted(
+        m.start()
+        for c in pk
+        for m in re.finditer(rf"(?:^|,){re.escape(c)}=", spec)
+    )
+    if not starts or starts[0] not in (0,):
+        raise SystemExit(f"--key must start with a PK column assignment, one of {pk}")
+    out = {}
+    for i, s in enumerate(starts):
+        seg = spec[s:starts[i + 1]] if i + 1 < len(starts) else spec[s:]
+        seg = seg.lstrip(",")
+        c, _, v = seg.partition("=")
+        out[c] = v
+    missing = [c for c in pk if c not in out]
+    if missing:
+        raise SystemExit(f"--key must set every PK column; missing {missing}")
+    return out
+
+
 def cmd_lookup(args) -> int:
     from cds_spark.lake.table import LakeTable
 
     table = LakeTable.load(_spark(args), args.root)
-    keys = []
-    for k in args.key:
-        d = {}
-        for part in k.split(","):
-            c, _, v = part.partition("=")
-            d[c.strip()] = v
-        missing = [c for c in table.pk if c not in d]
-        if missing:
-            raise SystemExit(f"--key must set every PK column; missing {missing}")
-        keys.append(d)
+    keys = [parse_key_spec(k, table.pk) for k in args.key]
     rows = [json.loads(s) for s in table.lookup(keys).toJSON().collect()]
     print(json.dumps(rows, indent=2))
     return 0

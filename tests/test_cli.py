@@ -107,3 +107,21 @@ def test_cli_sync_many(spark, tmp_path, capsys):
     for i in range(2):
         t = LakeTable.load(spark, str(tmp_path / f"smt{i}"))
         assert t.current().count() > 0
+
+
+def test_parse_key_spec():
+    from cds_spark.cli import parse_key_spec
+
+    pk = ["repo", "path"]
+    assert parse_key_spec("repo=org/a,path=src/x.py", pk) == {
+        "repo": "org/a", "path": "src/x.py"}
+    # values may contain commas and '=' — only `,<pk-col>=` terminates
+    assert parse_key_spec("repo=org/a,path=src/x,y=1.py", pk) == {
+        "repo": "org/a", "path": "src/x,y=1.py"}
+    assert parse_key_spec("path=a,b.txt,repo=r", pk) == {
+        "path": "a,b.txt", "repo": "r"}
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        parse_key_spec("repo=only", pk)
+    with _pytest.raises(SystemExit):
+        parse_key_spec("bogus=1,repo=r,path=p", pk)
