@@ -250,6 +250,15 @@ def cmd_changes(args) -> int:
     return 0
 
 
+def cmd_validate(args) -> int:
+    from cds_spark.lake.table import LakeTable
+
+    table = LakeTable.load(_spark(args), args.root)
+    buckets = [int(b) for b in args.buckets.split(",")] if args.buckets else None
+    print(json.dumps({"root": table.root, **table.validate(buckets=buckets)}))
+    return 0
+
+
 def cmd_sync_many(args) -> int:
     from cds_spark.streaming.pipeline import JobSpec, run_many
 
@@ -366,6 +375,14 @@ def build_parser() -> argparse.ArgumentParser:
                          "default prints up to --limit JSON rows")
     sp.add_argument("--limit", type=int, default=100)
     sp.set_defaults(fn=cmd_changes)
+
+    sp = sub.add_parser(
+        "validate", help="audit table invariants: bucket placement, PK "
+                         "nulls, collapsed-bucket uniqueness")
+    common(sp)
+    sp.add_argument("--buckets", default=None,
+                    help="comma-separated bucket subset (default: all)")
+    sp.set_defaults(fn=cmd_validate)
 
     sp = sub.add_parser(
         "sync-many", help="host several sync jobs in one Spark app "

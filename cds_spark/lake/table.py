@@ -828,6 +828,55 @@ class LakeTable:
             "needs_collapse": bool(self.properties.get("needs_collapse")),
         }
 
+    def validate(self, buckets: Sequence[int] | None = None) -> dict:
+        """Invariant audit (ops tool, O(selected buckets) scan):
+
+        - ``misplaced_rows``: rows whose recomputed bucket differs from the
+          directory they sit in (a corrupt write would break lookup's
+          pruning);
+        - ``dup_pk_rows``: rows beyond one per (pk, version) — duplicates
+          beyond at-least-once redelivery copies are fine for LWW but a
+          collapsed (fully compacted) bucket must have exactly one row per
+          key, reported as ``dup_collapsed_keys``;
+        - ``null_pk_rows``: PK columns must never be NULL past the DLQ.
+
+        Returns counts; all zero (for the collapsed metric: when clean)
+        means the table upholds what lookup/changes/compact assume."""
+        df = self.read(
+            buckets=buckets, live_only=False, with_meta=True, collapse=False
+        ).withColumn("_b2", self._bucket_expr())
+        sel = set(int(b) for b in buckets) if buckets is not None else None
+        files = [
+            f for f in self.manifest["files"]
+            if sel is None or f["bucket"] in sel
+        ]
+        by_file_bucket = df.withColumn(
+            "_file", F.element_at(F.split(F.input_file_name(), "_bucket="), -1)
+        ).withColumn("_fb", F.split(F.col("_file"), "/").getItem(0).cast("int"))
+        misplaced = by_file_bucket.filter(F.col("_fb") != F.col("_b2")).count()
+        null_cond = F.lit(False)
+        for c in self.pk:
+            null_cond = null_cond | F.col(c).isNull()
+        null_pk = df.filter(null_cond).count()
+        dirty = self._dirty_buckets()
+        clean_sel = [f["bucket"] for f in files if f["bucket"] not in dirty]
+        dup_collapsed = 0
+        if clean_sel:
+            clean = self.read(
+                buckets=sorted(set(clean_sel)), live_only=False,
+                with_meta=True, collapse=False,
+            )
+            dup_collapsed = (
+                clean.groupBy(*self.pk).count().filter(F.col("count") > 1).count()
+            )
+        return {
+            "misplaced_rows": int(misplaced),
+            "null_pk_rows": int(null_pk),
+            "dup_collapsed_keys": int(dup_collapsed),
+            "dirty_buckets": len(dirty),
+            "ok": misplaced == 0 and null_pk == 0 and dup_collapsed == 0,
+        }
+
     def bucket_generations(self, files: Sequence[dict] | None = None) -> dict[int, int]:
         """Row generations per bucket = distinct write txns contributing
         files to it (derived from the manifest — no extra metadata).

@@ -765,3 +765,25 @@ def test_run_many_syncs_two_tables_one_session(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         run_many(spark, [specs[0], specs[0]])
+
+
+def test_validate_invariants(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "val"), REPO_SCHEMA, pk=["repo", "path"],
+        version_cols=["commit", "_offset"], n_buckets=4,
+        properties={"merge_mode": "append"},
+    )
+    feed = change_feed(spark, 600, n_repos=4, paths_per_repo=8, seed=91)
+    rows, _ = events_to_rows(
+        decode_feed(feed, inject={"commit": "commit"}), t.schema, t.pk
+    )
+    t.merge(rows, fence=("val", 0))
+    v = t.validate()
+    assert v["ok"] and v["misplaced_rows"] == 0 and v["null_pk_rows"] == 0
+    assert v["dirty_buckets"] > 0          # uncollapsed append batch
+    t.compact(purge_tombstones=True)
+    v = t.validate()
+    assert v["ok"] and v["dirty_buckets"] == 0 and v["dup_collapsed_keys"] == 0
+    # bucket-subset audit works
+    b = t.manifest["files"][0]["bucket"]
+    assert t.validate(buckets=[b])["ok"]
