@@ -599,6 +599,47 @@ class LakeTable:
                     )
         return entries
 
+    def _commit_with_rebase(
+        self,
+        summary: dict,
+        consumed_paths: set[str],
+        entries: list[dict],
+        props_updates: dict,
+        attempts: int = 6,
+    ) -> None:
+        """CAS commit that survives losing the race to another writer.
+
+        Safe because every caller's ``entries`` are LWW-idempotent against
+        whatever landed concurrently: a merge's entries are (collapsed)
+        versioned rows — concurrent generations stack and the LWW window
+        resolves them, including exact duplicates from a concurrent compact
+        that rewrote the same consumed files (equal (pk, version) rows
+        collapse to one). On conflict: reload the latest manifest, drop
+        exactly the ``consumed_paths`` this writer's output replaces (never
+        files committed concurrently), re-derive ``needs_collapse`` from
+        the merged file list, retry. Overwrite does NOT use this — replace
+        semantics can't absorb concurrent additions silently."""
+        for _ in range(attempts):
+            m = self._next_manifest(summary)
+            new_files = [
+                f for f in self.manifest["files"] if f["path"] not in consumed_paths
+            ] + entries
+            m["files"] = new_files
+            m["properties"]["needs_collapse"] = bool(self._dirty_buckets(new_files))
+            m["properties"].update(props_updates)
+            try:
+                self._commit(m)
+                return
+            except RuntimeError:
+                with open(
+                    self._meta_path(self.root, self._current_version(self.root))
+                ) as fh:
+                    self.manifest = json.load(fh)
+        raise RuntimeError(
+            f"lost the manifest CAS race {attempts} times in a row "
+            f"({summary.get('operation')})"
+        )
+
     def overwrite(self, df: DataFrame, fence: tuple[str, int] | None = None) -> MergeStats:
         """Full-sync landing: replace table contents (cmd/dm bootstrap path).
         Input: logical columns (+ optional meta); missing meta filled."""
@@ -688,16 +729,17 @@ class LakeTable:
                 src, self._txn_name(), self._n_write_parts(), collapsed=batch_collapsed
             )
             touched = sorted({e["bucket"] for e in entries})
-            m = self._next_manifest(
-                {"operation": "append-merge", "touched_buckets": len(touched)}
-            )
-            m["files"] = self.manifest["files"] + entries
-            m["properties"]["needs_collapse"] = True
+            props = dict(extra_properties or {})
             if fence:
-                m["properties"][f"fence.{fence[0]}"] = int(fence[1])
-            if extra_properties:
-                m["properties"].update(extra_properties)
-            self._commit(m)
+                props[f"fence.{fence[0]}"] = int(fence[1])
+            # purely additive: consumed nothing, so a CAS race with
+            # maintenance (or another table's job sharing the session)
+            # rebases onto the latest manifest instead of crashing the
+            # stream
+            self._commit_with_rebase(
+                {"operation": "append-merge", "touched_buckets": len(touched)},
+                set(), entries, props,
+            )
             return MergeStats(
                 skipped=False, version=self.version, touched_buckets=len(touched),
                 total_buckets=self.n_buckets, rows_written=len(entries),
@@ -729,21 +771,25 @@ class LakeTable:
                     target.unionByName(src), self.pk, self.version_cols
                 )
             n_parts = max(1, min(len(touched), self._n_write_parts()))
+            # exactly the files whose content went into `merged` — the
+            # rebase-retry must drop these and ONLY these
+            consumed = {
+                f["path"]
+                for f in self.manifest["files"]
+                if f["bucket"] in set(touched)
+            }
             entries = self._write_txn(merged, self._txn_name(), n_parts, collapsed=True)
-            m = self._next_manifest(
+            props = dict(extra_properties or {})
+            if fence:
+                props[f"fence.{fence[0]}"] = int(fence[1])
+            self._commit_with_rebase(
                 {
                     "operation": "merge",
                     "source_rows": n_src,
                     "touched_buckets": len(touched),
-                }
+                },
+                consumed, entries, props,
             )
-            untouched = [f for f in self.manifest["files"] if f["bucket"] not in set(touched)]
-            m["files"] = untouched + entries
-            if fence:
-                m["properties"][f"fence.{fence[0]}"] = int(fence[1])
-            if extra_properties:
-                m["properties"].update(extra_properties)
-            self._commit(m)
             return MergeStats(
                 skipped=False,
                 version=self.version,
@@ -1031,32 +1077,15 @@ class LakeTable:
         finally:
             if winners is not None:
                 winners.unpersist()
-        # Commit with CAS rebase-retry: maintenance must never block (or be
-        # blocked by) the ingest writer — the ClickHouse background-merge
-        # contract. On conflict, reload the latest manifest and re-derive
-        # the file list: drop exactly the input files this compact
-        # consumed, keep everything committed concurrently (new append
-        # generations land on top of the compacted one; LWW absorbs the
-        # overlap, including a racing double-compact's duplicate rewrite).
-        summary = {"operation": "compact", "purged": purge_tombstones,
-                   "buckets": len(sel)}
-        for attempt in range(6):
-            m = self._next_manifest(summary)
-            new_files = [
-                f for f in self.manifest["files"] if f["path"] not in input_paths
-            ] + entries
-            m["files"] = new_files
-            # reads may skip the LWW window only once NO bucket is dirty
-            m["properties"]["needs_collapse"] = bool(self._dirty_buckets(new_files))
-            try:
-                self._commit(m)
-                return sel
-            except RuntimeError:
-                with open(
-                    self._meta_path(self.root, self._current_version(self.root))
-                ) as fh:
-                    self.manifest = json.load(fh)
-        raise RuntimeError("compact: lost the manifest CAS race 6 times in a row")
+        # maintenance must never block (or be blocked by) the ingest
+        # writer — the ClickHouse background-merge contract; see
+        # _commit_with_rebase for why the rebase is safe
+        self._commit_with_rebase(
+            {"operation": "compact", "purged": purge_tombstones,
+             "buckets": len(sel)},
+            input_paths, entries, {},
+        )
+        return sel
 
     def expire_snapshots(self, keep_last: int = 2) -> dict:
         """Iceberg ``expire_snapshots`` analog (ClickHouse: inactive-part GC

@@ -102,7 +102,10 @@ def test_partial_txn_dir_is_invisible(spark, tmp_path):
 
 
 def test_concurrent_commit_cas_rejected(spark, tmp_path):
-    """Single-writer optimistic concurrency: the second writer loses."""
+    """Optimistic concurrency: merges REBASE through a lost CAS (both
+    writers' rows land; LWW absorbs the duplicate delivery), while
+    overwrite — replace semantics, which cannot absorb concurrent
+    additions — still strictly rejects."""
     root = str(tmp_path / "t")
     _mk_table(spark, root)
     a = LakeTable.load(spark, root)
@@ -112,8 +115,18 @@ def test_concurrent_commit_cas_rejected(spark, tmp_path):
     rows, _ = events_to_rows(decode_feed(feed, inject={"commit": "commit"}),
                              a.schema, a.pk)
     a.merge(rows, fence=("wa", 0))
+    s = b.merge(rows, fence=("wb", 0))  # stale handle: rebases, not crashes
+    assert not s.skipped
+    final = LakeTable.load(spark, root)
+    # duplicate delivery through two writers converges (same versions)
+    assert sorted(map(tuple, final.current().collect())) == \
+           sorted(map(tuple, a.read().collect()))
+    # overwrite keeps the strict single-writer contract
+    c = LakeTable.load(spark, root)
+    a2 = LakeTable.load(spark, root)
+    a2.set_properties({"touch": "1"})
     with pytest.raises(RuntimeError, match="concurrent commit"):
-        b.merge(rows, fence=("wb", 0))
+        c.overwrite(final.current())
 
 
 def test_hot_key_rows_spread_across_salted_files(spark, tmp_path):

@@ -787,3 +787,47 @@ def test_validate_invariants(spark, tmp_path):
     # bucket-subset audit works
     b = t.manifest["files"][0]["bucket"]
     assert t.validate(buckets=[b])["ok"]
+
+
+def test_merge_survives_concurrent_compact_commit(spark, tmp_path):
+    """The other half of the non-blocking-maintenance contract: an ingest
+    merge that loses the manifest CAS to a concurrent compact rebases and
+    commits; no event is lost and LWW absorbs the duplicated rewrite."""
+    root = str(tmp_path / "mrace")
+    t_ing = LakeTable.create(
+        spark, root, REPO_SCHEMA, pk=["repo", "path"],
+        version_cols=["commit", "_offset"], n_buckets=4,
+        properties={"merge_mode": "append"},
+    )
+
+    def rows_for(lo, hi):
+        feed = change_feed(spark, hi - lo, n_repos=4, paths_per_repo=8,
+                           seed=17, start_offset=lo)
+        r, _ = events_to_rows(
+            decode_feed(feed, inject={"commit": "commit"}), t_ing.schema, t_ing.pk
+        )
+        return r
+
+    t_ing.merge(rows_for(0, 600), fence=("mr", 0))
+    t_ing.merge(rows_for(600, 1200), fence=("mr", 1))
+    # ingest handle goes "stale": a maintenance process compacts first
+    t_mnt = LakeTable.load(spark, root)
+    t_mnt.compact()
+    # the stale ingest writer commits its next batch -> CAS loss -> rebase
+    s = t_ing.merge(rows_for(1200, 1800), fence=("mr", 2))
+    assert not s.skipped
+
+    final = LakeTable.load(spark, root)
+    ref_root = str(tmp_path / "mref")
+    t_ref = LakeTable.create(
+        spark, ref_root, REPO_SCHEMA, pk=["repo", "path"],
+        version_cols=["commit", "_offset"], n_buckets=4,
+        properties={"merge_mode": "append"},
+    )
+    t_ref.merge(rows_for(0, 1800), fence=("ref", 0))
+    cols = ["repo", "path", "commit", "lang", "content"]
+    got = sorted(tuple(r) for r in final.current().select(*cols).collect())
+    exp = sorted(tuple(r) for r in t_ref.current().select(*cols).collect())
+    assert got == exp and len(got) > 0
+    # the compacted rewrite survived alongside the rebased batch
+    assert final.stats()["needs_collapse"]
