@@ -7,6 +7,7 @@ pkg/ckgroup/dbtesttool/dbtool/generate.go:8-89)."""
 import random
 
 import pyspark.sql.types as T
+from pyspark.sql import functions as F
 from hypothesis import given, settings, strategies as st
 
 from cds_spark.schema import is_widening, widen
@@ -91,3 +92,71 @@ def test_replay_converges_under_random_batching(spark, tmp_path_factory, seed):
            for r in table.current().collect()}
     want = {k: (v["commit"], v["content"]) for k, v in oracle.items()}
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.integers(0, 2**31 - 1))
+def test_asof_join_matches_pandas_merge_asof(spark, seed):
+    """Randomized backward as-of joins agree with pandas.merge_asof —
+    an oracle independent of both Spark and DuckDB. Unique (key, ts)
+    pairs per side (the documented tie rule differs from pandas's
+    positional pick, so ties are excluded from the property)."""
+    import pandas as pd
+
+    from cds_spark.operators.timeseries import asof_join
+
+    rng = random.Random(seed)
+    keys = ["a", "b", "c"]
+    def side(n, idbase):
+        rows, seen = [], set()
+        while len(rows) < n:
+            k = rng.choice(keys)
+            t = rng.randint(0, 50)
+            if (k, t) in seen:
+                continue
+            seen.add((k, t))
+            rows.append((k, float(t), idbase + len(rows)))
+        return rows
+
+    lrows, rrows = side(25, 1000), side(15, 2000)
+    left = spark.createDataFrame(lrows, "k string, t double, lid long") \
+        .select("k", F.timestamp_seconds("t").alias("ts"), "lid")
+    right = spark.createDataFrame(rrows, "k string, t double, rid long") \
+        .select("k", F.timestamp_seconds("t").alias("ts"), "rid")
+    got = {r["lid"]: r["rid"] for r in asof_join(left, right, on="k").collect()}
+
+    lp = pd.DataFrame(lrows, columns=["k", "t", "lid"]).sort_values("t")
+    rp = pd.DataFrame(rrows, columns=["k", "t", "rid"]).sort_values("t")
+    exp = pd.merge_asof(lp, rp, on="t", by="k", direction="backward")
+    exp_map = {
+        int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+        for r in exp.itertuples()
+    }
+    assert got == exp_map
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.integers(0, 2**31 - 1))
+def test_sessionize_matches_python_replay(spark, seed):
+    from cds_spark.operators.timeseries import sessionize
+
+    rng = random.Random(seed)
+    rows = [
+        (rng.choice(["u", "v"]), float(rng.randint(0, 400)), i)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "k string, t double, eid long") \
+        .select("k", F.timestamp_seconds("t").alias("ts"), "eid")
+    got = {r["eid"]: r["session_seq"]
+           for r in sessionize(df, key="k", ts="ts", gap_s=60.0,
+                               order_cols=["eid"]).collect()}
+    exp = {}
+    for k in ("u", "v"):
+        evs = sorted([(t, e) for kk, t, e in rows if kk == k])
+        seq, prev = 0, None
+        for t, e in evs:
+            if prev is None or t - prev > 60.0:
+                seq += 1
+            exp[e] = seq
+            prev = t
+    assert got == exp
