@@ -117,6 +117,8 @@ def cmd_sync(args) -> int:
         max_files_per_trigger=args.max_files_per_trigger,
         dlq_dir=args.dlq_dir,
         merge_mode=args.merge_mode,
+        decoder=args.decoder,
+        evolve_schema=args.decoder != "arrow",
     )
     job = IncrementalSync(_spark(args), spec)
     if args.once:
@@ -327,6 +329,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--max-files-per-trigger", type=int, default=8)
     sp.add_argument("--dlq-dir", default=None)
     sp.add_argument("--merge-mode", choices=["append", "upsert"], default=None)
+    sp.add_argument("--decoder", choices=["jvm", "arrow"], default="jvm",
+                    help="batch decode stage; arrow = vectorized pandas "
+                         "(implies schema evolution off)")
     sp.set_defaults(fn=cmd_sync)
 
     sp = sub.add_parser("status", help="table + job status (lineage tail)")

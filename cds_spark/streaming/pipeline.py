@@ -50,6 +50,12 @@ class JobSpec:
     version_inject: dict = field(default_factory=lambda: {"commit": "commit"})
     max_files_per_trigger: int = 8
     evolve_schema: bool = True
+    #: batch decode stage: "jvm" (default — from_json expressions, fastest)
+    #: or "arrow" (the input_hint's vectorized pandas/Arrow decode,
+    #: decode_feed_arrow — equivalence-tested against the JVM path; requires
+    #: evolve_schema=False since the Arrow form doesn't pass the raw payload
+    #: through for new-column type sampling)
+    decoder: str = "jvm"
     dlq_dir: str | None = None
     lineage_dir: str | None = None
     #: None -> table default; "append" = merge-on-read fast ingest,
@@ -179,6 +185,11 @@ class IncrementalSync:
         # - evolve_schema off: the fused struct-parse fast path
         #   (decode_feed_rows, ~2.8x cheaper) — no unknown-key discovery
         #   needed, so nothing ever looks at the map form.
+        if self.spec.decoder == "arrow" and self.spec.evolve_schema:
+            raise ValueError(
+                "decoder='arrow' requires evolve_schema=False (the Arrow "
+                "form carries no raw payload for new-column type sampling)"
+            )
         events = None
         if self.spec.evolve_schema:
             events = decode_feed(
@@ -188,6 +199,14 @@ class IncrementalSync:
             if events is not None:
                 added = discover_and_evolve(table, events)
                 rows, dlq = events_to_rows(events, table.schema, table.pk)
+            elif self.spec.decoder == "arrow":
+                from cds_spark.operators.decode import decode_feed_arrow
+
+                added = []
+                rows, dlq = events_to_rows(
+                    decode_feed_arrow(batch, inject=self.spec.version_inject),
+                    table.schema, table.pk,
+                )
             else:
                 added = []
                 rows, dlq = decode_feed_rows(

@@ -831,3 +831,36 @@ def test_merge_survives_concurrent_compact_commit(spark, tmp_path):
     assert got == exp and len(got) > 0
     # the compacted rewrite survived alongside the rebased batch
     assert final.stats()["needs_collapse"]
+
+
+def test_pipeline_arrow_decoder_matches_jvm(spark, tmp_path):
+    """decoder='arrow' (the input_hint's vectorized pandas path) drives the
+    full sync loop to the same final state as the JVM decoder."""
+    from cds_spark.sources.feed import write_feed_files
+    from cds_spark.streaming.pipeline import IncrementalSync, JobSpec
+
+    feed = change_feed(spark, 900, n_repos=6, paths_per_repo=10, seed=77)
+    topic = str(tmp_path / "atopic")
+    write_feed_files(feed, topic, 3)
+    states = {}
+    for dec in ("jvm", "arrow"):
+        root = str(tmp_path / f"adec_{dec}")
+        LakeTable.create(
+            spark, root, REPO_SCHEMA, pk=["repo", "path"],
+            version_cols=["commit", "_offset"], n_buckets=8,
+        )
+        spec = JobSpec(job_id=f"ad-{dec}", table_root=root, source_dir=topic,
+                       checkpoint_dir=str(tmp_path / f"ack_{dec}"),
+                       evolve_schema=False, decoder=dec)
+        IncrementalSync(spark, spec).run_available()
+        t = LakeTable.load(spark, root)
+        states[dec] = sorted(tuple(r) for r in t.current().collect())
+    assert states["jvm"] == states["arrow"] and len(states["jvm"]) > 0
+    # arrow + evolution is an explicit configuration error
+    import pytest as _pytest
+    spec = JobSpec(job_id="bad", table_root=str(tmp_path / "adec_jvm"),
+                   source_dir=topic, checkpoint_dir=str(tmp_path / "badck"),
+                   evolve_schema=True, decoder="arrow")
+    s = IncrementalSync(spark, spec)
+    with _pytest.raises(ValueError, match="arrow"):
+        s.process_batch(feed.limit(10), 0)
