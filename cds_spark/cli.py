@@ -252,6 +252,14 @@ def cmd_changes(args) -> int:
     return 0
 
 
+def cmd_purge(args) -> int:
+    from cds_spark.lake.table import LakeTable
+
+    table = LakeTable.load(_spark(args), args.root)
+    print(json.dumps({"root": table.root, **table.purge_where(args.where)}))
+    return 0
+
+
 def cmd_validate(args) -> int:
     from cds_spark.lake.table import LakeTable
 
@@ -380,6 +388,14 @@ def build_parser() -> argparse.ArgumentParser:
                          "default prints up to --limit JSON rows")
     sp.add_argument("--limit", type=int, default=100)
     sp.set_defaults(fn=cmd_changes)
+
+    sp = sub.add_parser(
+        "purge", help="physically delete keys whose current row matches a "
+                      "predicate (ALTER TABLE ... DELETE mutation analog)")
+    common(sp)
+    sp.add_argument("--where", required=True,
+                    help="SQL predicate over the logical columns")
+    sp.set_defaults(fn=cmd_purge)
 
     sp = sub.add_parser(
         "validate", help="audit table invariants: bucket placement, PK "

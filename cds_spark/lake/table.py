@@ -1087,6 +1087,63 @@ class LakeTable:
         )
         return sel
 
+    def purge_where(self, condition) -> dict:
+        """Physically remove every key whose CURRENT live row matches
+        ``condition`` (SQL string or Column) — the ClickHouse
+        ``ALTER TABLE ... DELETE`` mutation analog, and the
+        right-to-be-forgotten operation a training-data lake needs.
+
+        Deletion is by KEY, all generations: dropping only the matching
+        row would resurface the key's older version at the next LWW
+        collapse. Work is O(buckets containing matches): one collapsed
+        pass finds the matching keys, only their buckets are rewritten
+        (collapsed, matching keys anti-joined away, tombstones of matched
+        keys also dropped), committed through the CAS rebase like any
+        maintenance. Returns {keys_purged, buckets_rewritten, version}.
+
+        Unlike a CDC tombstone this does NOT protect against the key
+        re-appearing from a later feed event — it is an out-of-band
+        mutation, exactly like the ClickHouse analog."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        keys = (
+            self.current().filter(cond).select(*self.pk)
+            .withColumn("_bucket", self._bucket_expr())
+            .persist()
+        )
+        try:
+            buckets = sorted(
+                r["_bucket"] for r in keys.select("_bucket").distinct().collect()
+            )
+            n_keys = keys.count()
+            if not buckets:
+                return {"keys_purged": 0, "buckets_rewritten": 0,
+                        "version": self.version}
+            consumed = {
+                f["path"] for f in self.manifest["files"]
+                if f["bucket"] in set(buckets)
+            }
+            kdf = keys.drop("_bucket")
+            if n_keys <= UPSERT_BROADCAST_ROWS:
+                kdf = F.broadcast(kdf)
+            remain = (
+                self.read(buckets=buckets, live_only=False, with_meta=True)
+                .join(kdf, on=self.pk, how="left_anti")
+                .withColumn("_bucket", self._bucket_expr())
+            )
+            n_parts = max(1, min(len(buckets), self._n_write_parts()))
+            entries = self._write_txn(
+                remain, self._txn_name("-purge"), n_parts, collapsed=True,
+                n_buckets_hint=len(buckets),
+            )
+            self._commit_with_rebase(
+                {"operation": "purge", "keys": n_keys, "buckets": len(buckets)},
+                consumed, entries, {},
+            )
+            return {"keys_purged": n_keys, "buckets_rewritten": len(buckets),
+                    "version": self.version}
+        finally:
+            keys.unpersist()
+
     def expire_snapshots(self, keep_last: int = 2) -> dict:
         """Iceberg ``expire_snapshots`` analog (ClickHouse: inactive-part GC
         after background merges): drop manifest versions older than the

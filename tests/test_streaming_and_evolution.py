@@ -864,3 +864,49 @@ def test_pipeline_arrow_decoder_matches_jvm(spark, tmp_path):
     s = IncrementalSync(spark, spec)
     with _pytest.raises(ValueError, match="arrow"):
         s.process_batch(feed.limit(10), 0)
+
+
+def test_purge_where_removes_keys_all_generations(spark, tmp_path):
+    """ALTER TABLE ... DELETE analog: keys whose current row matches the
+    predicate vanish from every generation (no resurrection at the next
+    collapse); untouched buckets' files are carried by reference."""
+    root = str(tmp_path / "purge")
+    t = LakeTable.create(
+        spark, root, REPO_SCHEMA, pk=["repo", "path"],
+        version_cols=["commit", "_offset"], n_buckets=8,
+        properties={"merge_mode": "append"},
+    )
+    for i in range(3):  # several generations so resurrection is possible
+        feed = change_feed(spark, 500, n_repos=5, paths_per_repo=8,
+                           seed=33, start_offset=500 * i)
+        rows, _ = events_to_rows(
+            decode_feed(feed, inject={"commit": "commit"}), t.schema, t.pk
+        )
+        t.merge(rows, fence=("pg", i))
+    before = {(r["repo"], r["path"]): r for r in t.current().collect()}
+    victims = {k for k in before if k[0] == "org/repo-0"}
+    assert victims and len(victims) < len(before)
+
+    pre_files = {f["path"] for f in t.manifest["files"]}
+    res = t.purge_where("repo = 'org/repo-0'")
+    assert res["keys_purged"] == len(victims)
+    assert 0 < res["buckets_rewritten"] <= 8
+
+    after = {(r["repo"], r["path"]): r for r in t.current().collect()}
+    assert set(after) == set(before) - victims
+    for k in after:  # survivors untouched
+        assert after[k]["content"] == before[k]["content"]
+    # no generation of a purged key remains anywhere
+    raw = t.read(live_only=False, with_meta=True, collapse=False)
+    assert raw.filter(F.col("repo") == "org/repo-0").count() == 0
+    # untouched buckets carried by reference (same file paths)
+    touched_b = {f["bucket"] for f in t.manifest["files"]
+                 if f["path"] not in pre_files}
+    untouched_kept = [f["path"] for f in t.manifest["files"]
+                      if f["bucket"] not in touched_b]
+    assert all(p in pre_files for p in untouched_kept)
+    assert t.validate()["ok"]
+    # no-match predicate is a no-op commit-free
+    v = t.version
+    assert t.purge_where("repo = 'nope'")["keys_purged"] == 0
+    assert t.version == v
