@@ -256,7 +256,12 @@ def cmd_purge(args) -> int:
     from cds_spark.lake.table import LakeTable
 
     table = LakeTable.load(_spark(args), args.root)
-    print(json.dumps({"root": table.root, **table.purge_where(args.where)}))
+    out = {"root": table.root, **table.purge_where(args.where)}
+    if args.expire:
+        # physical erasure: old snapshots can still time-travel to the
+        # purged rows until the retained window is trimmed
+        out["expired"] = table.expire_snapshots(keep_last=1)
+    print(json.dumps(out))
     return 0
 
 
@@ -395,6 +400,10 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--where", required=True,
                     help="SQL predicate over the logical columns")
+    sp.add_argument("--expire", action="store_true",
+                    help="also expire old snapshots (keep_last=1) so the "
+                         "purged rows are physically unreachable — the "
+                         "right-to-be-forgotten completion step")
     sp.set_defaults(fn=cmd_purge)
 
     sp = sub.add_parser(

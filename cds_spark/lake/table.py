@@ -1103,7 +1103,13 @@ class LakeTable:
 
         Unlike a CDC tombstone this does NOT protect against the key
         re-appearing from a later feed event — it is an out-of-band
-        mutation, exactly like the ClickHouse analog."""
+        mutation, exactly like the ClickHouse analog.
+
+        ERASURE caveat: older snapshots still reference the purged rows'
+        files (time travel can read them) until ``expire_snapshots``
+        trims the retained window — for right-to-be-forgotten compliance
+        run ``expire_snapshots(keep_last=1)`` after the purge (CLI:
+        ``purge --where ... --expire``)."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
         keys = (
             self.current().filter(cond).select(*self.pk)
