@@ -265,6 +265,19 @@ def cmd_purge(args) -> int:
     return 0
 
 
+def cmd_update(args) -> int:
+    from cds_spark.lake.table import LakeTable
+
+    table = LakeTable.load(_spark(args), args.root)
+    assignments = {}
+    for a in args.set:
+        c, _, e = a.partition("=")
+        assignments[c.strip()] = e
+    print(json.dumps({"root": table.root,
+                      **table.update_where(args.where, assignments)}))
+    return 0
+
+
 def cmd_validate(args) -> int:
     from cds_spark.lake.table import LakeTable
 
@@ -405,6 +418,16 @@ def build_parser() -> argparse.ArgumentParser:
                          "purged rows are physically unreachable — the "
                          "right-to-be-forgotten completion step")
     sp.set_defaults(fn=cmd_purge)
+
+    sp = sub.add_parser(
+        "update", help="mutate matching rows in place (ALTER TABLE ... "
+                       "UPDATE mutation analog)")
+    common(sp)
+    sp.add_argument("--where", required=True,
+                    help="SQL predicate over the logical columns")
+    sp.add_argument("--set", action="append", required=True,
+                    help="repeatable: col=SQL-expression (RHS sees OLD values)")
+    sp.set_defaults(fn=cmd_update)
 
     sp = sub.add_parser(
         "validate", help="audit table invariants: bucket placement, PK "

@@ -1150,6 +1150,72 @@ class LakeTable:
         finally:
             keys.unpersist()
 
+    def update_where(self, condition, assignments: dict) -> dict:
+        """In-place column mutation — the ClickHouse ``ALTER TABLE ...
+        UPDATE`` analog: every CURRENT live row matching ``condition``
+        gets ``assignments`` ({column: SQL-expression string or Column})
+        applied; versions are untouched (mutations don't bump versions in
+        the reference either). Same O(matching buckets) shape as
+        :meth:`purge_where`: matched buckets are collapsed, mutated,
+        rewritten, committed through the CAS rebase. PK columns cannot be
+        assigned (that would be a delete+insert, not a mutation)."""
+        bad = [c for c in assignments if c in self.pk]
+        if bad:
+            raise ValueError(f"update_where cannot assign PK columns {bad}")
+        unknown = [
+            c for c in assignments
+            if c not in {f.name for f in self.schema.fields}
+        ]
+        if unknown:
+            raise ValueError(f"update_where: unknown columns {unknown}")
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        touched_rows = self.current().filter(cond).withColumn(
+            "_bucket", self._bucket_expr()
+        )
+        buckets = sorted(
+            r["_bucket"] for r in touched_rows.select("_bucket").distinct().collect()
+        )
+        if not buckets:
+            return {"rows_updated": 0, "buckets_rewritten": 0,
+                    "version": self.version}
+        consumed = {
+            f["path"] for f in self.manifest["files"]
+            if f["bucket"] in set(buckets)
+        }
+        cur = self.read(buckets=buckets, live_only=False, with_meta=True)
+        n_updated = cur.filter(~F.col(IS_DELETE)).filter(cond).count()
+        # SQL UPDATE semantics: the predicate AND every RHS evaluate
+        # against the OLD row — one select computes all assignments in
+        # parallel from the same input, so no assignment sees another's
+        # output
+        flagged = cur.withColumn("_match", cond & ~F.col(IS_DELETE))
+        types = {f.name: f.dataType for f in self.schema.fields}
+        sel = []
+        for name in flagged.columns:
+            if name in assignments:
+                e = assignments[name]
+                expr = F.expr(e) if isinstance(e, str) else e
+                sel.append(
+                    F.when(F.col("_match"), expr.cast(types[name]))
+                    .otherwise(F.col(name)).alias(name)
+                )
+            else:
+                sel.append(F.col(name))
+        out = flagged.select(*sel).drop("_match").withColumn(
+            "_bucket", self._bucket_expr()
+        )
+        n_parts = max(1, min(len(buckets), self._n_write_parts()))
+        entries = self._write_txn(
+            out, self._txn_name("-update"), n_parts, collapsed=True,
+            n_buckets_hint=len(buckets),
+        )
+        self._commit_with_rebase(
+            {"operation": "update", "rows": n_updated, "buckets": len(buckets)},
+            consumed, entries, {},
+        )
+        return {"rows_updated": n_updated, "buckets_rewritten": len(buckets),
+                "version": self.version}
+
     def expire_snapshots(self, keep_last: int = 2) -> dict:
         """Iceberg ``expire_snapshots`` analog (ClickHouse: inactive-part GC
         after background merges): drop manifest versions older than the

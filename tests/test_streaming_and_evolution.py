@@ -910,3 +910,48 @@ def test_purge_where_removes_keys_all_generations(spark, tmp_path):
     v = t.version
     assert t.purge_where("repo = 'nope'")["keys_purged"] == 0
     assert t.version == v
+
+
+def test_update_where_mutates_matching_rows(spark, tmp_path):
+    """ALTER TABLE ... UPDATE analog: RHS sees OLD values, versions are
+    untouched, non-matching rows and other buckets are byte-identical."""
+    root = str(tmp_path / "upd")
+    t = LakeTable.create(
+        spark, root, REPO_SCHEMA, pk=["repo", "path"],
+        version_cols=["commit", "_offset"], n_buckets=8,
+        properties={"merge_mode": "append"},
+    )
+    for i in range(2):
+        feed = change_feed(spark, 500, n_repos=5, paths_per_repo=8,
+                           seed=55, start_offset=500 * i)
+        rows, _ = events_to_rows(
+            decode_feed(feed, inject={"commit": "commit"}), t.schema, t.pk
+        )
+        t.merge(rows, fence=("up", i))
+    before = {(r["repo"], r["path"]): r for r in t.current().collect()}
+    n_match = sum(1 for k in before if k[0] == "org/repo-0")
+    assert n_match > 0
+
+    res = t.update_where(
+        "repo = 'org/repo-0'",
+        # lang references OLD content; content references OLD lang —
+        # both must see pre-update values
+        {"lang": "concat('x-', lang)", "content": "concat(lang, ':', content)"},
+    )
+    assert res["rows_updated"] == n_match
+    after = {(r["repo"], r["path"]): r for r in t.current().collect()}
+    assert set(after) == set(before)
+    for k, r in after.items():
+        b = before[k]
+        if k[0] == "org/repo-0":
+            assert r["lang"] == f"x-{b['lang']}"
+            assert r["content"] == f"{b['lang']}:{b['content']}"  # OLD lang
+            assert r["commit"] == b["commit"]  # version untouched
+        else:
+            assert tuple(r) == tuple(b)
+    assert t.validate()["ok"]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="PK"):
+        t.update_where("true", {"repo": "'nope'"})
+    with _pytest.raises(ValueError, match="unknown"):
+        t.update_where("true", {"bogus": "'x'"})
