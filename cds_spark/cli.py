@@ -15,6 +15,12 @@ the lake manifest + lineage sidecar. One subcommand per galaxy concern:
     history        snapshot log / time travel
     compact        background-merge analog (ReplacingMergeTree merges)
     expire         snapshot GC (ClickHouse inactive-part cleanup analog)
+    lookup         PK point fetch routed to the owning bucket
+    changes        incremental snapshot delta (Iceberg CDF analog)
+    cascade        lake-to-lake downstream tail
+    sync-many      N table jobs hosted in one Spark app (conf.json analog)
+    purge/update   ALTER TABLE DELETE/UPDATE mutation analogs
+    validate       consistency audit (CHECK TABLE analog)
 
 Usage: python -m cds_spark.cli <subcommand> --help
 """
