@@ -304,9 +304,16 @@ def cmd_sync_many(args) -> int:
     spark = _spark(args)
     run_many(spark, specs, trigger_once=args.once)
     if not args.once:
-        # continuous mode: stay up while any stream lives (process-per-app
-        # like the reference's rtu daemon; ctrl-c / SIGTERM stops)
-        spark.streams.awaitAnyTermination()
+        # continuous mode: stay up while ANY stream lives — one job's
+        # failure must not tear down its siblings (per-job isolation,
+        # like the reference's process-per-job deploy). awaitAnyTermination
+        # returns/raises on the FIRST termination, so loop + reset.
+        while spark.streams.active:
+            try:
+                spark.streams.awaitAnyTermination()
+            except Exception as e:  # failed job: report, keep the rest
+                print(json.dumps({"job_failed": str(e)[:500]}), file=sys.stderr)
+            spark.streams.resetTerminated()
     print(json.dumps({"jobs": [s.job_id for s in specs], "done": args.once}))
     return 0
 

@@ -11,7 +11,7 @@ Layout::
     <root>/
       _meta/
         version-00000001.json      # immutable snapshot manifest
-        _current                   # atomic pointer (os.replace)
+        _current                   # advisory pointer (version files rule)
       data/
         txn-00000001/_bucket=NNN/part-*.parquet
 
@@ -24,11 +24,13 @@ Key properties (scale rationale):
   bucket); untouched buckets carry their file entries forward. At 100TB
   with n_buckets=4096, a micro-batch touching hot keys rewrites a bounded
   slice of the table, not the whole thing.
-- **Atomic snapshot commit** — manifest written first, then the `_current`
-  pointer swapped with ``os.replace`` (atomic on POSIX). Readers always see
-  a complete snapshot; a crashed writer leaves only unreachable files.
-  This is the Spark/Iceberg analog of cds's transactional per-shard insert
-  (pkg/ckgroup/common.go:164-192).
+- **Atomic snapshot commit** — claiming version N = exclusively creating
+  ``version-N.json`` (``os.link``, EEXIST for the loser): a true CAS, so
+  two processes can never both believe they committed N. The current
+  version is the max committed version file; ``_current`` is an advisory
+  fast-path pointer. Readers always see a complete snapshot; a crashed
+  writer leaves only unreachable files. This is the Spark/Iceberg analog
+  of cds's transactional per-shard insert (pkg/ckgroup/common.go:164-192).
 - **Offset-fenced idempotent commits** — snapshot properties record the
   last applied ``(job_id, batch_id)``; replaying an already-applied
   micro-batch is a no-op, upgrading Structured Streaming's at-least-once
@@ -114,6 +116,15 @@ OFFSET = "_offset"
 #: so this is generous; above it, the classic union+collapse shuffle runs)
 UPSERT_BROADCAST_ROWS = 4_000_000
 
+class CommitConflict(RuntimeError):
+    """Another writer committed the version this writer tried to claim."""
+
+
+#: snapshot operations that rewrite or remove data OUT-OF-BAND of the
+#: versioned CDC flow — a rebase across one of these could resurrect
+#: purged keys or un-apply an update, so rebases abort instead
+MUTATION_OPS = {"purge", "update", "overwrite"}
+
 #: physical meta columns appended to every data file
 META_FIELDS = [
     T.StructField(IS_DELETE, T.BooleanType(), True),
@@ -147,12 +158,32 @@ class LakeTable:
         return os.path.join(root, META_DIR, f"version-{version:08d}.json")
 
     @staticmethod
-    def _write_manifest(root: str, manifest: dict) -> None:
+    def _write_manifest(root: str, manifest: dict, exclusive: bool = False) -> None:
+        """Write version-N.json. With ``exclusive`` the CREATION of the
+        version file IS the commit lock: ``os.link`` fails with EEXIST if
+        another writer already claimed version N — a true atomic
+        compare-and-set, unlike a read-check-write of a pointer file
+        (two processes could both pass the check and the second would
+        silently erase the first's committed snapshot)."""
         path = LakeTable._meta_path(root, manifest["version"])
         tmp = path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
-        os.replace(tmp, path)
+        if exclusive:
+            try:
+                os.link(tmp, path)
+            except FileExistsError:
+                raise CommitConflict(
+                    f"concurrent commit detected: version "
+                    f"{manifest['version']} was claimed by another writer"
+                )
+            finally:
+                os.remove(tmp)
+        else:
+            os.replace(tmp, path)
+        # advisory fast-path pointer only — the version FILES are the
+        # source of truth (a crash between link and this write must not
+        # hide the committed snapshot)
         cur = os.path.join(root, META_DIR, "_current")
         tmp = cur + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
@@ -161,8 +192,19 @@ class LakeTable:
 
     @staticmethod
     def _current_version(root: str) -> int:
-        with open(os.path.join(root, META_DIR, "_current")) as f:
-            return int(f.read().strip())
+        # authoritative: the max committed version file (the _current
+        # pointer is advisory and may lag after a crash mid-commit)
+        meta = os.path.join(root, META_DIR)
+        best = -1
+        for n in os.listdir(meta):
+            if n.startswith("version-") and n.endswith(".json"):
+                try:
+                    best = max(best, int(n[len("version-"):-len(".json")]))
+                except ValueError:
+                    continue
+        if best < 0:
+            raise FileNotFoundError(f"no committed manifests under {meta}")
+        return best
 
     # ------------------------------------------------------------ lifecycle
     @classmethod
@@ -264,15 +306,20 @@ class LakeTable:
         return m
 
     def _commit(self, manifest: dict) -> None:
-        # single-writer CAS: abort if someone committed since we loaded
+        # optimistic CAS: cheap early abort on a stale snapshot, then the
+        # exclusive version-file create is the atomic decider
         cur = self._current_version(self.root)
         if cur != self.manifest["version"]:
-            raise RuntimeError(
+            raise CommitConflict(
                 f"concurrent commit detected: loaded v{self.manifest['version']}, "
                 f"current is v{cur}"
             )
-        self._write_manifest(self.root, manifest)
+        self._write_manifest(self.root, manifest, exclusive=True)
         self.manifest = manifest
+
+    def _reload_latest(self) -> None:
+        with open(self._meta_path(self.root, self._current_version(self.root))) as fh:
+            self.manifest = json.load(fh)
 
     def set_properties(self, props: dict) -> None:
         m = self._next_manifest({"operation": "set_properties"})
@@ -409,15 +456,19 @@ class LakeTable:
         pk = self.pk
         pk_fields = [next(f for f in self.schema.fields if f.name == c) for c in pk]
         if isinstance(keys, DataFrame):
-            kdf = keys.select(*pk).distinct()
+            kdf = keys.select(*pk)
         else:
             rows = [
                 tuple(k[c] for c in pk) if isinstance(k, dict) else tuple(k)
                 for k in keys
             ]
-            kdf = self.spark.createDataFrame(
-                rows, T.StructType(pk_fields)
-            ).distinct()
+            # infer from the given values (CLI hands strings for any type)
+            kdf = self.spark.createDataFrame(rows, list(pk))
+        # cast to the TABLE's PK types before hashing: a mistyped key
+        # would hash to the wrong bucket and silently return nothing
+        kdf = kdf.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in pk_fields]
+        ).distinct()
         # bounded collect: bucket id + key values per distinct key
         krows = kdf.select(
             self._bucket_expr().alias("_b"), *[F.col(c) for c in pk]
@@ -451,14 +502,20 @@ class LakeTable:
         replayable from the table itself.
 
         Exactness per snapshot operation:
-        - ``append-merge`` / ``overwrite``: the snapshot's added files ARE
-          the delta (merge-on-read appends only new rows).
+        - ``append-merge``: the snapshot's added files ARE the delta
+          (merge-on-read appends only new rows).
         - ``merge`` (copy-on-write): added files are whole rewritten
           buckets; the true delta is recovered with a left-anti join on
           (pk, version, _is_delete) against those buckets' files in the
           PREVIOUS snapshot — O(touched buckets), never O(table).
         - maintenance snapshots (``compact``, ``set_properties``, DDL):
           data-invariant, contribute nothing.
+        - mutation snapshots (``purge``/``update``/``overwrite``):
+          REFUSED with ValueError — removals and same-version rewrites
+          cannot be expressed as LWW change rows (the Iceberg CDF analog
+          refuses incremental reads across replace snapshots for the same
+          reason). Consumers full-refresh instead — cascade_sync does so
+          automatically.
 
         Granularity follows what each snapshot committed: append snapshots
         without in-batch collapse carry EVERY versioned event row (the full
@@ -497,7 +554,14 @@ class LakeTable:
             added = [f for f in m["files"] if f["path"] not in prev_by_path]
             prev_files, prev_m = prev["files"], prev
             prev = m
-            if op not in ("append-merge", "overwrite", "merge") or not added:
+            if op in MUTATION_OPS:
+                raise ValueError(
+                    f"changes({from_version}, {to_version}): snapshot v{v} is "
+                    f"a '{op}' mutation — removals/same-version rewrites are "
+                    f"not expressible as change rows; full-refresh from the "
+                    f"current state instead"
+                )
+            if op not in ("append-merge", "merge") or not added:
                 continue
             delta = self._read_entries(added, phys)
             if op == "merge":
@@ -630,15 +694,41 @@ class LakeTable:
             try:
                 self._commit(m)
                 return
-            except RuntimeError:
-                with open(
-                    self._meta_path(self.root, self._current_version(self.root))
-                ) as fh:
-                    self.manifest = json.load(fh)
+            except CommitConflict:
+                base = self.manifest["version"]
+                self._reload_latest()
+                # a rebase may only stack versioned rows on top of OTHER
+                # versioned rows: if an out-of-band mutation (purge/
+                # update/overwrite) landed in between, our entries were
+                # computed from pre-mutation data and re-committing them
+                # would resurrect purged keys / revert updates — abort so
+                # the caller restarts from the latest state (a streaming
+                # merge restarts its micro-batch via the checkpoint; the
+                # fence was not advanced)
+                ops = self._ops_between(base, self.manifest["version"])
+                bad = [o for o in ops if o is None or o in MUTATION_OPS]
+                if bad:
+                    raise CommitConflict(
+                        f"concurrent mutation snapshot(s) {bad} committed "
+                        f"during this write — rebase unsafe, restart the "
+                        f"operation from the latest state"
+                    )
         raise RuntimeError(
             f"lost the manifest CAS race {attempts} times in a row "
             f"({summary.get('operation')})"
         )
+
+    def _ops_between(self, base_version: int, to_version: int) -> list:
+        """summary.operation of snapshots base+1..to (None when a manifest
+        was expired — treated as unknown, i.e. conservatively a mutation)."""
+        ops = []
+        for v in range(base_version + 1, to_version + 1):
+            try:
+                with open(self._meta_path(self.root, v)) as fh:
+                    ops.append(json.load(fh).get("summary", {}).get("operation"))
+            except FileNotFoundError:
+                ops.append(None)
+        return ops
 
     def overwrite(self, df: DataFrame, fence: tuple[str, int] | None = None) -> MergeStats:
         """Full-sync landing: replace table contents (cmd/dm bootstrap path).
@@ -1089,6 +1179,24 @@ class LakeTable:
 
     def purge_where(self, condition) -> dict:
         """Physically remove every key whose CURRENT live row matches
+        ``condition`` — see :meth:`_purge_attempt`. Mutations never
+        rebase (a rebase could let a racing merge/compact resurrect the
+        purged keys): on a lost CAS the WHOLE operation re-runs against
+        the fresh state."""
+        return self._mutate_with_retry(lambda: self._purge_attempt(condition))
+
+    def _mutate_with_retry(self, attempt, attempts: int = 4) -> dict:
+        last = None
+        for _ in range(attempts):
+            try:
+                return attempt()
+            except CommitConflict as e:
+                last = e
+                self._reload_latest()
+        raise RuntimeError(f"mutation lost the CAS race {attempts} times: {last}")
+
+    def _purge_attempt(self, condition) -> dict:
+        """Physically remove every key whose CURRENT live row matches
         ``condition`` (SQL string or Column) — the ClickHouse
         ``ALTER TABLE ... DELETE`` mutation analog, and the
         right-to-be-forgotten operation a training-data lake needs.
@@ -1141,16 +1249,32 @@ class LakeTable:
                 remain, self._txn_name("-purge"), n_parts, collapsed=True,
                 n_buckets_hint=len(buckets),
             )
-            self._commit_with_rebase(
-                {"operation": "purge", "keys": n_keys, "buckets": len(buckets)},
-                consumed, entries, {},
+            # strict commit: CommitConflict propagates to _mutate_with_retry,
+            # which re-runs the whole attempt against the fresh state
+            m = self._next_manifest(
+                {"operation": "purge", "keys": n_keys, "buckets": len(buckets)}
             )
+            m["files"] = [
+                f for f in self.manifest["files"] if f["path"] not in consumed
+            ] + entries
+            m["properties"]["needs_collapse"] = bool(self._dirty_buckets(m["files"]))
+            self._commit(m)
             return {"keys_purged": n_keys, "buckets_rewritten": len(buckets),
                     "version": self.version}
         finally:
             keys.unpersist()
 
     def update_where(self, condition, assignments: dict) -> dict:
+        """In-place column mutation — see :meth:`_update_attempt`.
+        Mutations never rebase (an update keeps version tuples, so a
+        racing writer's carried-forward copy of the old row would tie the
+        LWW and arbitrarily revert it): lost CAS → whole-operation retry
+        against the fresh state."""
+        return self._mutate_with_retry(
+            lambda: self._update_attempt(condition, assignments)
+        )
+
+    def _update_attempt(self, condition, assignments: dict) -> dict:
         """In-place column mutation — the ClickHouse ``ALTER TABLE ...
         UPDATE`` analog: every CURRENT live row matching ``condition``
         gets ``assignments`` ({column: SQL-expression string or Column})
@@ -1169,12 +1293,16 @@ class LakeTable:
         if unknown:
             raise ValueError(f"update_where: unknown columns {unknown}")
         cond = F.expr(condition) if isinstance(condition, str) else condition
-        touched_rows = self.current().filter(cond).withColumn(
-            "_bucket", self._bucket_expr()
+        # one discovery pass: matched-row count + owning buckets together
+        agg = (
+            self.current().filter(cond)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.collect_set(self._bucket_expr()).alias("bs"),
+            )
+            .first()
         )
-        buckets = sorted(
-            r["_bucket"] for r in touched_rows.select("_bucket").distinct().collect()
-        )
+        n_updated, buckets = int(agg["n"]), sorted(int(b) for b in agg["bs"])
         if not buckets:
             return {"rows_updated": 0, "buckets_rewritten": 0,
                     "version": self.version}
@@ -1183,7 +1311,6 @@ class LakeTable:
             if f["bucket"] in set(buckets)
         }
         cur = self.read(buckets=buckets, live_only=False, with_meta=True)
-        n_updated = cur.filter(~F.col(IS_DELETE)).filter(cond).count()
         # SQL UPDATE semantics: the predicate AND every RHS evaluate
         # against the OLD row — one select computes all assignments in
         # parallel from the same input, so no assignment sees another's
@@ -1209,10 +1336,14 @@ class LakeTable:
             out, self._txn_name("-update"), n_parts, collapsed=True,
             n_buckets_hint=len(buckets),
         )
-        self._commit_with_rebase(
-            {"operation": "update", "rows": n_updated, "buckets": len(buckets)},
-            consumed, entries, {},
+        m = self._next_manifest(
+            {"operation": "update", "rows": n_updated, "buckets": len(buckets)}
         )
+        m["files"] = [
+            f for f in self.manifest["files"] if f["path"] not in consumed
+        ] + entries
+        m["properties"]["needs_collapse"] = bool(self._dirty_buckets(m["files"]))
+        self._commit(m)
         return {"rows_updated": n_updated, "buckets_rewritten": len(buckets),
                 "version": self.version}
 

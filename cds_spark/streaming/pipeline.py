@@ -160,6 +160,13 @@ class IncrementalSync:
     """Owns one job's foreachBatch loop + lineage/metrics sidecar."""
 
     def __init__(self, spark: SparkSession, spec: JobSpec):
+        if spec.decoder == "arrow" and spec.evolve_schema:
+            # fail at construction, not on the first micro-batch of an
+            # already-started stream: the misconfiguration is static
+            raise ValueError(
+                "decoder='arrow' requires evolve_schema=False (the Arrow "
+                "form carries no raw payload for new-column type sampling)"
+            )
         self.spark = spark
         self.spec = spec
         self.table = LakeTable.load(spark, spec.table_root)
@@ -185,11 +192,6 @@ class IncrementalSync:
         # - evolve_schema off: the fused struct-parse fast path
         #   (decode_feed_rows, ~2.8x cheaper) — no unknown-key discovery
         #   needed, so nothing ever looks at the map form.
-        if self.spec.decoder == "arrow" and self.spec.evolve_schema:
-            raise ValueError(
-                "decoder='arrow' requires evolve_schema=False (the Arrow "
-                "form carries no raw payload for new-column type sampling)"
-            )
         events = None
         if self.spec.evolve_schema:
             events = decode_feed(
@@ -550,17 +552,23 @@ def cascade_sync(
         if have is not None and have.dataType != f.dataType:
             dst.alter_widen_column(f.name, f.dataType)
     try:
+        # raises ValueError when the incremental read is impossible:
+        # cursor fell off the retained-snapshot window, or the window
+        # contains a mutation snapshot (purge/update/overwrite) whose
+        # removals can't be expressed as change rows. ONLY changes() is
+        # guarded — a merge failure must propagate, not masquerade as a
+        # refresh trigger
         delta = src.changes(from_v, src.version).drop("_change_version")
-        stats = dst.merge(delta, fence=(job_id, src.version))
-        applied: int | str = stats.rows_written
     except ValueError:
-        # cursor older than the upstream's retained-snapshot window
-        # (expire_snapshots ran past it): incremental read impossible, do
-        # the Iceberg-style full refresh — overwrite with current upstream
-        # state, tombstones included
+        # Iceberg-style full refresh: overwrite with the current upstream
+        # state, tombstones included — also how upstream purges/updates
+        # reach the destination
         full = src.read(live_only=False, with_meta=True, collapse=True)
         stats = dst.overwrite(full, fence=(job_id, src.version))
-        applied = "full-refresh"
+        applied: int | str = "full-refresh"
+    else:
+        stats = dst.merge(delta, fence=(job_id, src.version))
+        applied = stats.rows_written
     rec = {"applied": applied, "from": from_v, "to": src.version,
            "skipped": stats.skipped}
     _log(dst_root, rec)

@@ -856,14 +856,14 @@ def test_pipeline_arrow_decoder_matches_jvm(spark, tmp_path):
         t = LakeTable.load(spark, root)
         states[dec] = sorted(tuple(r) for r in t.current().collect())
     assert states["jvm"] == states["arrow"] and len(states["jvm"]) > 0
-    # arrow + evolution is an explicit configuration error
+    # arrow + evolution is a STATIC configuration error: rejected at
+    # construction, before any stream starts
     import pytest as _pytest
     spec = JobSpec(job_id="bad", table_root=str(tmp_path / "adec_jvm"),
                    source_dir=topic, checkpoint_dir=str(tmp_path / "badck"),
                    evolve_schema=True, decoder="arrow")
-    s = IncrementalSync(spark, spec)
     with _pytest.raises(ValueError, match="arrow"):
-        s.process_batch(feed.limit(10), 0)
+        IncrementalSync(spark, spec)
 
 
 def test_purge_where_removes_keys_all_generations(spark, tmp_path):
@@ -955,3 +955,65 @@ def test_update_where_mutates_matching_rows(spark, tmp_path):
         t.update_where("true", {"repo": "'nope'"})
     with _pytest.raises(ValueError, match="unknown"):
         t.update_where("true", {"bogus": "'x'"})
+
+
+def test_mutations_are_race_safe(spark, tmp_path):
+    """Mutations never rebase: a purge losing the CAS to an ingest commit
+    re-runs against fresh state (new matching rows also purged); a stale
+    MERGE racing a committed purge aborts instead of resurrecting keys;
+    changes() refuses mutation windows; cascade full-refreshes through
+    an upstream purge."""
+    import pytest as _pytest
+
+    from cds_spark.streaming.pipeline import cascade_sync
+
+    root = str(tmp_path / "msafe")
+    t = LakeTable.create(
+        spark, root, REPO_SCHEMA, pk=["repo", "path"],
+        version_cols=["commit", "_offset"], n_buckets=4,
+        properties={"merge_mode": "append"},
+    )
+
+    def rows_for(lo, hi):
+        feed = change_feed(spark, hi - lo, n_repos=4, paths_per_repo=6,
+                           seed=7, start_offset=lo)
+        r, _ = events_to_rows(
+            decode_feed(feed, inject={"commit": "commit"}), t.schema, t.pk
+        )
+        return r
+
+    t.merge(rows_for(0, 600), fence=("ms", 0))
+    dst = str(tmp_path / "msafe_dst")
+    cascade_sync(spark, root, dst, "msc")  # bootstrap cursor pre-purge
+    v_pre = t.version
+
+    # (1) purge loses CAS to a concurrent ingest commit -> whole-op retry
+    t_stale = LakeTable.load(spark, root)
+    t.merge(rows_for(600, 1200), fence=("ms", 1))  # advances the manifest
+    res = t_stale.purge_where("repo = 'org/repo-0'")
+    final = LakeTable.load(spark, root)
+    # recomputed on fresh state: batch-2 rows for repo-0 purged too
+    assert final.current().filter("repo = 'org/repo-0'").count() == 0
+    assert res["keys_purged"] > 0
+
+    # (2) stale merge racing the committed purge ABORTS (no resurrection)
+    t_stale2 = LakeTable.load(spark, root)
+    LakeTable.load(spark, root).purge_where("repo = 'org/repo-1'")
+    from cds_spark.lake.table import CommitConflict
+    with _pytest.raises(CommitConflict, match="mutation"):
+        t_stale2.merge(rows_for(1200, 1400), fence=("ms", 2))
+    assert LakeTable.load(spark, root).current() \
+        .filter("repo = 'org/repo-1'").count() == 0
+
+    # (3) changes() refuses a window containing the purge
+    with _pytest.raises(ValueError, match="mutation"):
+        LakeTable.load(spark, root).changes(v_pre)
+
+    # (4) cascade crosses the purge via full refresh; downstream loses keys
+    r = cascade_sync(spark, root, dst, "msc")
+    assert r["applied"] == "full-refresh"
+    d = LakeTable.load(spark, dst)
+    assert d.current().filter("repo = 'org/repo-0'").count() == 0
+    cols = ["repo", "path", "commit", "content"]
+    assert sorted(map(tuple, d.current().select(*cols).collect())) == \
+           sorted(map(tuple, LakeTable.load(spark, root).current().select(*cols).collect()))
