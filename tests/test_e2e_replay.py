@@ -342,3 +342,30 @@ def test_changes_scans_only_delta_files(spark, feed, tmp_path):
     for f in touched:
         assert any(f.endswith(p) for p in added), f
     assert len(touched) == len(added)
+
+
+def test_lookup_casts_keys_to_table_pk_types(spark, tmp_path):
+    """Mistyped key values (CLI hands strings) must hash in the TABLE's PK
+    type or they'd route to the wrong bucket and silently return nothing."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType(), True),
+        T.StructField("v", T.StringType(), True),
+    ])
+    t = LakeTable.create(
+        spark, str(tmp_path / "typed"), schema, pk=["id"],
+        version_cols=["_offset"], n_buckets=8,
+    )
+    src = spark.createDataFrame(
+        [(i, f"val-{i}", False, i) for i in range(50)],
+        "id long, v string, _is_delete boolean, _offset long",
+    )
+    t.merge(src, fence=("ty", 0))
+    got = t.lookup([{"id": "42"}]).collect()      # string key vs long column
+    assert len(got) == 1 and got[0]["v"] == "val-42"
+    got = t.lookup([(7,)]).collect()              # native-typed tuple
+    assert len(got) == 1 and got[0]["v"] == "val-7"
+    # DataFrame key set with a mismatched (string) column type
+    kdf = spark.createDataFrame([("13",)], "id string")
+    assert t.lookup(kdf).first()["v"] == "val-13"
