@@ -252,3 +252,23 @@ def test_stateful_staleness_monitor(spark, tmp_path):
         final[k] = max(final.get(k, v), v)
     for k, v in state.items():
         assert final[k] == v
+
+
+def test_current_pointer_is_advisory(spark, tmp_path):
+    """A crash between the exclusive version-file create and the _current
+    pointer write must not hide the committed snapshot: the version files
+    are the source of truth."""
+    root = str(tmp_path / "ptr")
+    t = _mk_table(spark, root)
+    feed = change_feed(spark, 100, n_repos=3, paths_per_repo=5, seed=21)
+    rows, _ = events_to_rows(decode_feed(feed, inject={"commit": "commit"}),
+                             t.schema, t.pk)
+    t.merge(rows, fence=("p", 0))
+    v = t.version
+    assert v > 1
+    # simulate the crash: pointer lags at the create version
+    with open(os.path.join(root, "_meta", "_current"), "w") as f:
+        f.write("1")
+    t2 = LakeTable.load(spark, root)
+    assert t2.version == v
+    assert t2.current().count() > 0
