@@ -277,7 +277,12 @@ def cmd_update(args) -> int:
     table = LakeTable.load(_spark(args), args.root)
     assignments = {}
     for a in args.set:
-        c, _, e = a.partition("=")
+        c, sep, e = a.partition("=")
+        if not sep or not c.strip() or not e.strip():
+            raise SystemExit(
+                f"--set {a!r}: expected col=SQL-expression (got no "
+                f"{'=' if not sep else 'expression' if not e.strip() else 'column'})"
+            )
         assignments[c.strip()] = e
     print(json.dumps({"root": table.root,
                       **table.update_where(args.where, assignments)}))
@@ -302,20 +307,30 @@ def cmd_sync_many(args) -> int:
         raise SystemExit("--jobs must be a JSON array of JobSpec objects")
     specs = [JobSpec(**d) for d in job_dicts]
     spark = _spark(args)
-    run_many(spark, specs, trigger_once=args.once)
+    queries = run_many(spark, specs, trigger_once=args.once)
+    failed: list[str] = []
     if not args.once:
         # continuous mode: stay up while ANY stream lives — one job's
         # failure must not tear down its siblings (per-job isolation,
         # like the reference's process-per-job deploy). awaitAnyTermination
-        # returns/raises on the FIRST termination, so loop + reset.
+        # returns/raises on the FIRST termination, so loop + reset; per-
+        # query exception() is checked at the end so a failure landing
+        # between the await and the reset is still reported.
         while spark.streams.active:
             try:
                 spark.streams.awaitAnyTermination()
             except Exception as e:  # failed job: report, keep the rest
                 print(json.dumps({"job_failed": str(e)[:500]}), file=sys.stderr)
             spark.streams.resetTerminated()
-    print(json.dumps({"jobs": [s.job_id for s in specs], "done": args.once}))
-    return 0
+        for spec, q in zip(specs, queries or []):
+            if q.exception() is not None:
+                failed.append(spec.job_id)
+                print(json.dumps({"job_id": spec.job_id,
+                                  "error": str(q.exception())[:500]}),
+                      file=sys.stderr)
+    print(json.dumps({"jobs": [s.job_id for s in specs], "done": args.once,
+                      "failed": failed}))
+    return 1 if failed else 0
 
 
 def cmd_cascade(args) -> int:

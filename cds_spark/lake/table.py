@@ -462,17 +462,31 @@ class LakeTable:
                 tuple(k[c] for c in pk) if isinstance(k, dict) else tuple(k)
                 for k in keys
             ]
+            if not rows:  # empty key set: empty result, right schema
+                return self.read(buckets=[], live_only=live_only)
             # infer from the given values (CLI hands strings for any type)
             kdf = self.spark.createDataFrame(rows, list(pk))
         # cast to the TABLE's PK types before hashing: a mistyped key
         # would hash to the wrong bucket and silently return nothing
+        # try_cast: under ANSI SQL (Spark 4 default) a plain cast THROWS
+        # on a bad value mid-job; try_cast yields NULL, which the guard
+        # below turns into a clear error
         kdf = kdf.select(
-            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in pk_fields]
+            *[F.col(f.name).try_cast(f.dataType).alias(f.name) for f in pk_fields]
         ).distinct()
         # bounded collect: bucket id + key values per distinct key
         krows = kdf.select(
             self._bucket_expr().alias("_b"), *[F.col(c) for c in pk]
         ).distinct().collect()
+        bad = [r for r in krows if any(r[c] is None for c in pk)]
+        if bad:
+            # an uncastable key became NULL in the PK type — reject with a
+            # clear error instead of hashing null / crashing the zone-map
+            # range check driver-side
+            raise ValueError(
+                f"lookup: {len(bad)} key(s) not castable to the table PK "
+                f"types {[(f.name, f.dataType.simpleString()) for f in pk_fields]}"
+            )
         buckets = sorted({r["_b"] for r in krows})
         keyvals = [tuple(r[c] for c in pk) for r in krows]
 
@@ -663,6 +677,23 @@ class LakeTable:
                     )
         return entries
 
+    def _build_commit_manifest(
+        self, summary: dict, consumed_paths: set[str], entries: list[dict],
+        props_updates: dict | None = None,
+    ) -> dict:
+        """ONE definition of commit assembly for merges, compacts and
+        mutations: latest files minus exactly this writer's consumed
+        inputs, plus its entries; ``needs_collapse`` re-derived from the
+        merged list."""
+        m = self._next_manifest(summary)
+        new_files = [
+            f for f in self.manifest["files"] if f["path"] not in consumed_paths
+        ] + entries
+        m["files"] = new_files
+        m["properties"]["needs_collapse"] = bool(self._dirty_buckets(new_files))
+        m["properties"].update(props_updates or {})
+        return m
+
     def _commit_with_rebase(
         self,
         summary: dict,
@@ -670,8 +701,11 @@ class LakeTable:
         entries: list[dict],
         props_updates: dict,
         attempts: int = 6,
-    ) -> None:
+    ) -> bool:
         """CAS commit that survives losing the race to another writer.
+        Returns True when committed, False when the write turned out to be
+        a duplicate (another instance of the same job already advanced the
+        fence past this batch) — the caller reports skipped.
 
         Safe because every caller's ``entries`` are LWW-idempotent against
         whatever landed concurrently: a merge's entries are (collapsed)
@@ -684,16 +718,12 @@ class LakeTable:
         the merged file list, retry. Overwrite does NOT use this — replace
         semantics can't absorb concurrent additions silently."""
         for _ in range(attempts):
-            m = self._next_manifest(summary)
-            new_files = [
-                f for f in self.manifest["files"] if f["path"] not in consumed_paths
-            ] + entries
-            m["files"] = new_files
-            m["properties"]["needs_collapse"] = bool(self._dirty_buckets(new_files))
-            m["properties"].update(props_updates)
+            m = self._build_commit_manifest(
+                summary, consumed_paths, entries, props_updates
+            )
             try:
                 self._commit(m)
-                return
+                return True
             except CommitConflict:
                 base = self.manifest["version"]
                 self._reload_latest()
@@ -713,6 +743,16 @@ class LakeTable:
                         f"during this write — rebase unsafe, restart the "
                         f"operation from the latest state"
                     )
+                # fence must NEVER regress: if another instance of this job
+                # (zombie/restarted driver) already advanced the fence to or
+                # past this batch, this write is a duplicate — drop it (the
+                # txn files become orphans; GC sweeps them) instead of
+                # re-committing old rows and rolling the fence backwards
+                for k, v in props_updates.items():
+                    if k.startswith("fence."):
+                        latest = self.manifest["properties"].get(k)
+                        if latest is not None and int(latest) >= int(v):
+                            return False
         raise RuntimeError(
             f"lost the manifest CAS race {attempts} times in a row "
             f"({summary.get('operation')})"
@@ -826,13 +866,15 @@ class LakeTable:
             # maintenance (or another table's job sharing the session)
             # rebases onto the latest manifest instead of crashing the
             # stream
-            self._commit_with_rebase(
+            committed = self._commit_with_rebase(
                 {"operation": "append-merge", "touched_buckets": len(touched)},
                 set(), entries, props,
             )
             return MergeStats(
-                skipped=False, version=self.version, touched_buckets=len(touched),
-                total_buckets=self.n_buckets, rows_written=len(entries),
+                skipped=not committed, version=self.version,
+                touched_buckets=len(touched) if committed else 0,
+                total_buckets=self.n_buckets,
+                rows_written=len(entries) if committed else 0,
             )
 
         # upsert (copy-on-write): need src twice (bucket discovery + merge)
@@ -872,7 +914,7 @@ class LakeTable:
             props = dict(extra_properties or {})
             if fence:
                 props[f"fence.{fence[0]}"] = int(fence[1])
-            self._commit_with_rebase(
+            committed = self._commit_with_rebase(
                 {
                     "operation": "merge",
                     "source_rows": n_src,
@@ -880,6 +922,8 @@ class LakeTable:
                 },
                 consumed, entries, props,
             )
+            if not committed:
+                return MergeStats(skipped=True, version=self.version)
             return MergeStats(
                 skipped=False,
                 version=self.version,
@@ -1251,14 +1295,10 @@ class LakeTable:
             )
             # strict commit: CommitConflict propagates to _mutate_with_retry,
             # which re-runs the whole attempt against the fresh state
-            m = self._next_manifest(
-                {"operation": "purge", "keys": n_keys, "buckets": len(buckets)}
-            )
-            m["files"] = [
-                f for f in self.manifest["files"] if f["path"] not in consumed
-            ] + entries
-            m["properties"]["needs_collapse"] = bool(self._dirty_buckets(m["files"]))
-            self._commit(m)
+            self._commit(self._build_commit_manifest(
+                {"operation": "purge", "keys": n_keys, "buckets": len(buckets)},
+                consumed, entries,
+            ))
             return {"keys_purged": n_keys, "buckets_rewritten": len(buckets),
                     "version": self.version}
         finally:
@@ -1281,8 +1321,9 @@ class LakeTable:
         applied; versions are untouched (mutations don't bump versions in
         the reference either). Same O(matching buckets) shape as
         :meth:`purge_where`: matched buckets are collapsed, mutated,
-        rewritten, committed through the CAS rebase. PK columns cannot be
-        assigned (that would be a delete+insert, not a mutation)."""
+        rewritten, STRICT-committed (lost CAS = whole-operation re-run;
+        mutations never rebase). PK columns cannot be assigned (that
+        would be a delete+insert, not a mutation)."""
         bad = [c for c in assignments if c in self.pk]
         if bad:
             raise ValueError(f"update_where cannot assign PK columns {bad}")
@@ -1311,19 +1352,48 @@ class LakeTable:
             if f["bucket"] in set(buckets)
         }
         cur = self.read(buckets=buckets, live_only=False, with_meta=True)
+        types = {f.name: f.dataType for f in self.schema.fields}
+        # guard against silent erasure: a non-null RHS that does not cast
+        # to the column type would write NULL into every matched row — a
+        # typo'd --set must fail the mutation, not destroy data (the
+        # ClickHouse ALTER ... UPDATE analog rejects such mutations too)
+        checks = []
+        for name, e in assignments.items():
+            expr = F.expr(e) if isinstance(e, str) else e
+            checks.append(
+                F.sum(
+                    F.when(
+                        expr.isNotNull() & expr.try_cast(types[name]).isNull(), 1
+                    ).otherwise(0)
+                ).alias(name)
+            )
+        try:
+            bad_counts = (
+                cur.filter(cond & ~F.col(IS_DELETE)).agg(*checks).first().asDict()
+            )
+        except Exception as e:  # type-impossible cast fails at analysis
+            raise ValueError(
+                f"update_where: assignment not castable to the column type: {e}"
+            ) from e
+        bad_cols = sorted(c for c, n in bad_counts.items() if n)
+        if bad_cols:
+            raise ValueError(
+                f"update_where: assignment(s) {bad_cols} produce values that "
+                f"do not cast to the column type on matched rows — refusing "
+                f"to write NULLs over data"
+            )
         # SQL UPDATE semantics: the predicate AND every RHS evaluate
         # against the OLD row — one select computes all assignments in
         # parallel from the same input, so no assignment sees another's
         # output
         flagged = cur.withColumn("_match", cond & ~F.col(IS_DELETE))
-        types = {f.name: f.dataType for f in self.schema.fields}
         sel = []
         for name in flagged.columns:
             if name in assignments:
                 e = assignments[name]
                 expr = F.expr(e) if isinstance(e, str) else e
                 sel.append(
-                    F.when(F.col("_match"), expr.cast(types[name]))
+                    F.when(F.col("_match"), expr.try_cast(types[name]))
                     .otherwise(F.col(name)).alias(name)
                 )
             else:
@@ -1336,14 +1406,10 @@ class LakeTable:
             out, self._txn_name("-update"), n_parts, collapsed=True,
             n_buckets_hint=len(buckets),
         )
-        m = self._next_manifest(
-            {"operation": "update", "rows": n_updated, "buckets": len(buckets)}
-        )
-        m["files"] = [
-            f for f in self.manifest["files"] if f["path"] not in consumed
-        ] + entries
-        m["properties"]["needs_collapse"] = bool(self._dirty_buckets(m["files"]))
-        self._commit(m)
+        self._commit(self._build_commit_manifest(
+            {"operation": "update", "rows": n_updated, "buckets": len(buckets)},
+            consumed, entries,
+        ))
         return {"rows_updated": n_updated, "buckets_rewritten": len(buckets),
                 "version": self.version}
 

@@ -160,6 +160,12 @@ class IncrementalSync:
     """Owns one job's foreachBatch loop + lineage/metrics sidecar."""
 
     def __init__(self, spark: SparkSession, spec: JobSpec):
+        if spec.decoder not in ("jvm", "arrow"):
+            # a typo in a sync-many jobs.json (which bypasses the CLI's
+            # choices= guard) must not silently run the wrong decode stage
+            raise ValueError(
+                f"unknown decoder {spec.decoder!r}: expected 'jvm' or 'arrow'"
+            )
         if spec.decoder == "arrow" and spec.evolve_schema:
             # fail at construction, not on the first micro-batch of an
             # already-started stream: the misconfiguration is static
@@ -205,10 +211,13 @@ class IncrementalSync:
                 from cds_spark.operators.decode import decode_feed_arrow
 
                 added = []
-                rows, dlq = events_to_rows(
-                    decode_feed_arrow(batch, inject=self.spec.version_inject),
-                    table.schema, table.pk,
-                )
+                # persist the (expensive, ~3.7x slower than JVM) Arrow
+                # decode like the evolve path does its map decode: the
+                # lineage agg, DLQ split and merge all reuse one parse
+                events = decode_feed_arrow(
+                    batch, inject=self.spec.version_inject
+                ).persist()
+                rows, dlq = events_to_rows(events, table.schema, table.pk)
             else:
                 added = []
                 rows, dlq = decode_feed_rows(

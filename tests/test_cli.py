@@ -103,7 +103,7 @@ def test_cli_sync_many(spark, tmp_path, capsys):
     with open(jf, "w") as f:
         json.dump(jobs, f)
     out = json.loads(_run(capsys, ["sync-many", "--jobs", jf, "--once"]))
-    assert out == {"jobs": ["sm0", "sm1"], "done": True}
+    assert out == {"jobs": ["sm0", "sm1"], "done": True, "failed": []}
     for i in range(2):
         t = LakeTable.load(spark, str(tmp_path / f"smt{i}"))
         assert t.current().count() > 0

@@ -369,3 +369,25 @@ def test_lookup_casts_keys_to_table_pk_types(spark, tmp_path):
     # DataFrame key set with a mismatched (string) column type
     kdf = spark.createDataFrame([("13",)], "id string")
     assert t.lookup(kdf).first()["v"] == "val-13"
+
+
+def test_lookup_rejects_uncastable_and_handles_empty(spark, tmp_path):
+    import pyspark.sql.types as T
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType(), True),
+        T.StructField("v", T.StringType(), True),
+    ])
+    t = LakeTable.create(
+        spark, str(tmp_path / "typed2"), schema, pk=["id"],
+        version_cols=["_offset"], n_buckets=4,
+    )
+    src = spark.createDataFrame(
+        [(i, f"v{i}", False, i) for i in range(10)],
+        "id long, v string, _is_delete boolean, _offset long",
+    )
+    t.merge(src, fence=("te", 0))
+    assert t.lookup([]).count() == 0                 # empty key set
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="castable"):
+        t.lookup([{"id": "not-a-number"}])           # uncastable -> clear error

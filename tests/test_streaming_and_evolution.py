@@ -1017,3 +1017,76 @@ def test_mutations_are_race_safe(spark, tmp_path):
     cols = ["repo", "path", "commit", "content"]
     assert sorted(map(tuple, d.current().select(*cols).collect())) == \
            sorted(map(tuple, LakeTable.load(spark, root).current().select(*cols).collect()))
+
+
+def test_update_where_refuses_uncastable_assignment(spark, tmp_path):
+    """A typo'd RHS that would silently NULL a column must fail the
+    mutation, and the table must be unchanged."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType(), True),
+        T.StructField("n", T.LongType(), True),
+        T.StructField("v", T.StringType(), True),
+    ])
+    t = LakeTable.create(
+        spark, str(tmp_path / "updguard"), schema, pk=["id"],
+        version_cols=["_offset"], n_buckets=4,
+    )
+    src = spark.createDataFrame(
+        [(i, i * 10, f"v{i}", False, i) for i in range(30)],
+        "id long, n long, v string, _is_delete boolean, _offset long",
+    )
+    t.merge(src, fence=("ug", 0))
+    before = sorted(map(tuple, t.current().collect()))
+    v = t.version
+    with pytest.raises(ValueError, match="cast"):
+        # long column assigned a non-numeric string: try_cast -> NULL,
+        # which the guard must refuse before any rewrite
+        t.update_where("true", {"n": "'abc'"})
+    t2 = LakeTable.load(spark, t.root)
+    assert t2.version == v
+    assert sorted(map(tuple, t2.current().collect())) == before
+    # a legitimate update through the same path still works
+    t2.update_where("id = 3", {"n": "n + 1"})
+    assert t2.lookup([(3,)]).first()["n"] == 31
+
+
+def test_fence_never_regresses_through_rebase(spark, tmp_path):
+    """A zombie driver of the SAME job whose batch was already applied by
+    its replacement must come back 'skipped' — not re-commit old rows and
+    roll the fence backwards."""
+    root = str(tmp_path / "zombie")
+    t = LakeTable.create(
+        spark, root, REPO_SCHEMA, pk=["repo", "path"],
+        version_cols=["commit", "_offset"], n_buckets=4,
+        properties={"merge_mode": "append"},
+    )
+
+    def rows_for(lo, hi):
+        feed = change_feed(spark, hi - lo, n_repos=3, paths_per_repo=5,
+                           seed=11, start_offset=lo)
+        r, _ = events_to_rows(
+            decode_feed(feed, inject={"commit": "commit"}), t.schema, t.pk
+        )
+        return r
+
+    t.merge(rows_for(0, 300), fence=("J", 0))
+    zombie = LakeTable.load(spark, root)      # stalls holding this snapshot
+    fresh = LakeTable.load(spark, root)       # restarted driver races ahead
+    fresh.merge(rows_for(300, 600), fence=("J", 1))
+    fresh.merge(rows_for(600, 900), fence=("J", 2))
+    s = zombie.merge(rows_for(300, 600), fence=("J", 1))  # duplicate batch 1
+    assert s.skipped, "zombie's already-applied batch must be dropped"
+    final = LakeTable.load(spark, root)
+    assert int(final.properties["fence.J"]) == 2          # never regressed
+    # state equals the straight-line replay
+    ref = LakeTable.create(
+        spark, str(tmp_path / "zref"), REPO_SCHEMA, pk=["repo", "path"],
+        version_cols=["commit", "_offset"], n_buckets=4,
+        properties={"merge_mode": "append"},
+    )
+    ref.merge(rows_for(0, 900), fence=("r", 0))
+    cols = ["repo", "path", "commit", "content"]
+    assert sorted(map(tuple, final.current().select(*cols).collect())) == \
+           sorted(map(tuple, ref.current().select(*cols).collect()))
