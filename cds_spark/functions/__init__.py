@@ -51,19 +51,26 @@ def content_sha256(c: Column | str) -> Column:
 
 
 def state_digest(df, cols: list[str] | None = None) -> int:
-    """Order-independent digest of a DataFrame's content: ``bit_xor`` of a
-    per-row ``xxhash64`` over ``cols`` (all columns by default). One JVM
-    aggregate, no collect of rows — used to compare final table state
-    across independently-launched engines (e.g. the in-process replay vs
-    the ``spark-submit --py-files`` replay) without shipping the data.
-    Deterministic for a given row multiset; commutative, so partitioning
-    and row order never matter. Returns 0 for an empty frame."""
+    """Order-independent digest of a DataFrame's content: SUM (not xor —
+    xor cancels rows of even multiplicity, so two different states could
+    collide) of a per-row ``xxhash64`` over ``cols`` (all columns by
+    default), taken in decimal(38,0) to dodge ANSI long overflow, folded
+    mod 2^64 with the row count mixed in. One JVM aggregate, no collect
+    of rows — used to compare final table state across independently-
+    launched engines (e.g. the in-process replay vs the ``spark-submit
+    --py-files`` replay) without shipping the data. Deterministic and
+    multiplicity-sensitive for a given row multiset; partitioning and row
+    order never matter. Returns 0 for an empty frame."""
     cols = cols or df.columns
     row = df.select(
-        F.expr(f"bit_xor(xxhash64({', '.join(cols)}))").alias("d"),
+        F.sum(
+            F.xxhash64(*[F.col(c) for c in cols]).cast("decimal(38,0)")
+        ).alias("d"),
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
-    return int(row["d"] or 0) ^ int(row["n"])
+    if not int(row["n"]):
+        return 0
+    return (int(row["d"]) % (1 << 64)) ^ int(row["n"])
 
 
 def stable_long_hash(c: Column | str, bits: int = 61) -> Column:

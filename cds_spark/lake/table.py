@@ -62,27 +62,22 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def _parquet_rows(path: str) -> int | None:
-    """Row count from the parquet footer (no data read); None if pyarrow
-    is unavailable or the footer is unreadable."""
-    try:
-        import pyarrow.parquet as pq
-
-        return int(pq.ParquetFile(path).metadata.num_rows)
-    except Exception:
-        return None
-
-
-def _parquet_col_ranges(path: str, cols: Sequence[str]) -> dict | None:
-    """Per-column [min, max] zone map from the parquet footer (Iceberg
-    lower/upper bound stats): no data read, JSON-safe scalars only. Files
+def _parquet_footer_stats(path: str, cols: Sequence[str]) -> tuple:
+    """(row count, per-column [min, max] zone map) from ONE parquet footer
+    read (Iceberg lower/upper bound stats) — the commit path calls this
+    per written file, so a single ParquetFile construction matters. Files
     are written ``sortWithinPartitions(pk)`` so PK ranges are tight and
-    file-skipping on point lookups is effective. None when any requested
-    column lacks footer stats (non-scalar type, old writer)."""
+    file-skipping on point lookups is effective. Ranges are None when any
+    requested column lacks footer stats (non-scalar type, old writer);
+    rows are None when the footer is unreadable."""
     try:
         import pyarrow.parquet as pq
 
         md = pq.ParquetFile(path).metadata
+    except Exception:
+        return None, None
+    rows = int(md.num_rows)
+    try:
         idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
         out: dict[str, list] = {}
         for c in cols:
@@ -90,18 +85,18 @@ def _parquet_col_ranges(path: str, cols: Sequence[str]) -> dict | None:
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(idx[c]).statistics
                 if st is None or not st.has_min_max:
-                    return None
+                    return rows, None
                 mn, mx = st.min, st.max
                 if isinstance(mn, bytes):
                     mn, mx = mn.decode("utf-8", "replace"), mx.decode("utf-8", "replace")
                 if not isinstance(mn, (str, int, float)):
-                    return None
+                    return rows, None
                 lo = mn if lo is None or mn < lo else lo
                 hi = mx if hi is None or mx > hi else hi
             out[c] = [lo, hi]
-        return out
+        return rows, out
     except Exception:
-        return None
+        return rows, None
 
 from cds_spark.operators.dedup import lww_collapse
 from cds_spark.schema import is_widening
@@ -653,6 +648,7 @@ class LakeTable:
             for fname in sorted(os.listdir(os.path.join(txn_dir, bdir))):
                 if fname.endswith(".parquet"):
                     fpath = os.path.join(txn_dir, bdir, fname)
+                    _frows, _franges = _parquet_footer_stats(fpath, self.pk)
                     entries.append(
                         {
                             "path": os.path.join(txn_rel, bdir, fname),
@@ -666,13 +662,13 @@ class LakeTable:
                             # from the parquet footer, drives maintenance
                             # planning (compact strategy choice) without a
                             # data scan
-                            "rows": _parquet_rows(fpath),
+                            "rows": _frows,
                             "bytes": os.path.getsize(fpath),
                             # PK zone map (lower/upper bounds): files are
                             # pk-sorted within partitions, so ranges are
                             # tight; lets lookup() skip files inside the
                             # owning bucket too
-                            "stats": _parquet_col_ranges(fpath, self.pk),
+                            "stats": _franges,
                         }
                     )
         return entries
@@ -1367,11 +1363,14 @@ class LakeTable:
                     ).otherwise(0)
                 ).alias(name)
             )
+        from pyspark.errors import AnalysisException
+
         try:
             bad_counts = (
                 cur.filter(cond & ~F.col(IS_DELETE)).agg(*checks).first().asDict()
             )
-        except Exception as e:  # type-impossible cast fails at analysis
+        except AnalysisException as e:  # type-impossible cast / bad expr —
+            # runtime failures (executor lost, IO) propagate untouched
             raise ValueError(
                 f"update_where: assignment not castable to the column type: {e}"
             ) from e

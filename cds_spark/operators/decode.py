@@ -645,6 +645,12 @@ def decode_feed_arrow(
                 raise ValueError("empty value")
             return k
 
+        def _no_const(c):
+            # only reachable INSIDE nested containers (scalars are handled
+            # above): rendering parity for nested NaN/Infinity is not
+            # defined, reject to the DLQ (documented nested-value caveat)
+            raise ValueError(f"non-standard JSON constant {c}")
+
         try:
             i = ws(0)
             if i >= n or s[i] != "{":
@@ -673,11 +679,17 @@ def decode_feed_arrow(
                     items.append((key, None))
                 elif rawv[0] in "{[":
                     items.append(
-                        (key, _json.dumps(_json.loads(rawv),
+                        (key, _json.dumps(_json.loads(rawv, parse_constant=_no_const),
                                           separators=(",", ":"), ensure_ascii=False))
                     )
+                elif rawv in ("NaN", "Infinity", "-Infinity"):
+                    # Jackson (from_json) ACCEPTS these non-standard tokens
+                    # and re-serializes them as QUOTED strings (measured:
+                    # {"a":NaN} -> {a -> "NaN"}) — match exactly; Python
+                    # json would instead type them float and render inf/nan
+                    items.append((key, f'"{rawv}"'))
                 else:
-                    v = _json.loads(rawv)  # validate + type the scalar token
+                    v = _json.loads(rawv, parse_constant=_no_const)
                     if isinstance(v, bool):
                         items.append((key, "true" if v else "false"))
                     elif isinstance(v, int):

@@ -224,6 +224,11 @@ def chunk_documents(
     (stride = chunk - overlap) — the context-window packing step of a
     training pipeline. posexplode over an integer sequence: linear work,
     integer-exact chunk count in any engine."""
+    if chunk_chars <= 0 or overlap < 0 or overlap >= chunk_chars:
+        raise ValueError(
+            f"chunk_documents: need 0 <= overlap < chunk_chars "
+            f"(got chunk_chars={chunk_chars}, overlap={overlap})"
+        )
     stride = chunk_chars - overlap
     n_extra = F.floor(
         (F.greatest(F.length(text_col) - chunk_chars, F.lit(0)) + (stride - 1))

@@ -107,11 +107,24 @@ def discover_and_evolve(
         F.map_keys(F.col("data")), lambda k: ~k.isin(*known)
     )
     samples = (
-        events.select(F.col(payload_col).alias("_p"), unknown_keys.alias("_ks"))
+        events.select(
+            F.col(payload_col).alias("_p"),
+            F.col("data").alias("_d"),
+            unknown_keys.alias("_ks"),
+        )
         .filter(F.size("_ks") > 0)
-        .select("_p", F.explode("_ks").alias("k"))
+        .select("_p", "_d", F.explode("_ks").alias("k"))
         .groupBy("k")
-        .agg(F.first("_p", ignorenulls=True).alias("sample"))
+        # sample a payload whose VALUE for k is non-null — the first
+        # occurrence may carry JSON null, which would mis-infer the new
+        # column as string forever (ALTER ADD is sticky)
+        .agg(
+            F.first(
+                F.when(F.element_at(F.col("_d"), F.col("k")).isNotNull(),
+                       F.col("_p")),
+                ignorenulls=True,
+            ).alias("sample")
+        )
         .collect()
     )
     if not samples:
@@ -357,14 +370,21 @@ def jdbc_keyset_scan(
     bounds_q = f"(SELECT MIN({pc}) AS lo, MAX({pc}) AS hi FROM {table}) cds_bounds"
     b = spark.read.jdbc(url, bounds_q, properties=props).collect()[0]
     lo, hi = b["lo"], b["hi"]
-    if lo is None or hi is None or int(lo) == int(hi):
+    try:
+        lo_i, hi_i = (None, None) if lo is None else (int(lo), int(hi))
+    except (TypeError, ValueError):
+        # non-numeric keyset column (UUID/string PK): range partitioning
+        # impossible — fall back to a single-reader snapshot rather than
+        # crash (pass a numeric column for parallelism)
+        lo_i = hi_i = None
+    if lo_i is None or hi_i is None or lo_i == hi_i:
         return spark.read.jdbc(url, table, properties=props)
     return spark.read.jdbc(
         url,
         table,
         column=pc,
-        lowerBound=int(lo),
-        upperBound=int(hi) + 1,  # Spark's upperBound is exclusive
+        lowerBound=lo_i,
+        upperBound=hi_i + 1,  # Spark's upperBound is exclusive
         numPartitions=n,
         properties=props,
     )
@@ -409,15 +429,26 @@ def introspect_jdbc(
     from pyspark.sql import types as T
 
     safe = table.replace("'", "''")
+    # scope to the CONNECTION's schema: same-named tables in other
+    # databases must not pollute the inferred columns/PK
     q = (
         "(SELECT column_name AS col, column_type AS typ, column_key AS pri, "
         "ordinal_position AS pos FROM information_schema.columns "
-        f"WHERE table_name = '{safe}') cds_desc"
+        f"WHERE table_name = '{safe}' AND table_schema = database()) cds_desc"
     )
-    rows = sorted(
-        spark.read.jdbc(url, q, properties=dict(properties or {})).collect(),
-        key=lambda r: int(r["pos"]),
+    q_ansi = (
+        "(SELECT column_name AS col, data_type AS typ, '' AS pri, "
+        "ordinal_position AS pos FROM information_schema.columns "
+        f"WHERE table_name = '{safe}' AND table_schema = current_schema()) cds_desc"
     )
+    try:
+        raw = spark.read.jdbc(url, q, properties=dict(properties or {})).collect()
+    except Exception:
+        # non-MySQL sources: column_type/column_key/database() are MySQL
+        # dialect — retry with the ANSI names (no PK metadata there; the
+        # caller supplies pk=)
+        raw = spark.read.jdbc(url, q_ansi, properties=dict(properties or {})).collect()
+    rows = sorted(raw, key=lambda r: int(r["pos"]))
     if not rows:
         raise ValueError(f"introspect_jdbc: source table {table!r} has no columns")
     fields = [T.StructField(r["col"], _source_type_to_spark(r["typ"] or "")) for r in rows]
@@ -543,8 +574,17 @@ def cascade_sync(
     dst = LakeTable.load(spark, dst_root)
     last = dst.properties.get(f"fence.{job_id}")
     if last is None:
+        if not dst.manifest["files"]:
+            # first run crashed between create() and the bootstrap merge:
+            # the empty destination is safe to (re-)bootstrap
+            full = src.read(live_only=False, with_meta=True, collapse=True)
+            dst.merge(full, fence=(job_id, src.version), precollapsed=True)
+            rec = {"applied": "bootstrap", "from": 0, "to": src.version,
+                   "skipped": False}
+            _log(dst_root, rec)
+            return rec
         raise ValueError(
-            f"destination {dst_root} exists but has no fence.{job_id} — "
+            f"destination {dst_root} exists with data but no fence.{job_id} — "
             f"it was not created by this cascade; refusing to guess a cursor"
         )
     from_v = int(last)

@@ -531,3 +531,51 @@ def test_sessionize_gap_boundaries(spark):
                              order_cols=["eid"]).collect()}
     # gap of exactly 1800 does NOT split (> rule); 1800.5 does
     assert s[1] == 1 and s[2] == 1 and s[3] == 2 and s[4] == 1
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from cds_spark.operators.textstats import chunk_documents
+
+    docs = spark.createDataFrame([(1, "abcdef")], "doc_id long, text string")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_chars=100, overlap=100)
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_chars=10, overlap=-1)
+
+
+def test_arrow_decoder_matches_jvm_on_nonstandard_json(spark):
+    """Jackson (from_json) accepts NaN/Infinity and re-serializes them as
+    QUOTED strings; Python json types them float. The decoders must render
+    identically or jvm/arrow replays of the same feed diverge."""
+    from cds_spark.operators.decode import decode_feed, decode_feed_arrow
+
+    feed = spark.createDataFrame(
+        [
+            ("u", "r", "p", "c1", 0, '{"repo":"r","path":"p","val":NaN}', 0),
+            ("u", "r", "q", "c1", 1, '{"repo":"r","path":"q","val":Infinity}', 0),
+            ("u", "r", "s", "c1", 2, '{"repo":"r","path":"s","val":1.5}', 0),
+        ],
+        "op string, repo string, path string, commit string, offset long, payload string, partition int",
+    )
+    jvm = decode_feed(feed, inject={"commit": "commit"}).select("_offset", "data").collect()
+    arrow = decode_feed_arrow(feed, inject={"commit": "commit"}).select("_offset", "data").collect()
+    jm = {r["_offset"]: r["data"] for r in jvm}
+    am = {r["_offset"]: r["data"] for r in arrow}
+    # Jackson ACCEPTS the non-standard tokens, re-serialized as quoted
+    # strings (measured) — the arrow decoder must render identically
+    assert jm[0]["val"] == '"NaN"' and am[0] == jm[0]
+    assert jm[1]["val"] == '"Infinity"' and am[1] == jm[1]
+    assert jm[2] is not None and am[2] == jm[2]  # normal payload: identical
+
+
+def test_state_digest_multiplicity_sensitive(spark):
+    from cds_spark.functions import state_digest
+
+    a = spark.createDataFrame([("x",), ("x",), ("b",)], "v string")
+    b = spark.createDataFrame([("y",), ("y",), ("b",)], "v string")
+    c = spark.createDataFrame([("x",), ("b",), ("x",)], "v string")
+    empty = spark.createDataFrame([], "v string")
+    assert state_digest(a) != state_digest(b)     # xor would have collided
+    assert state_digest(a) == state_digest(c)     # order-independent
+    assert state_digest(empty) == 0

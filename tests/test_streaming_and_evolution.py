@@ -1090,3 +1090,84 @@ def test_fence_never_regresses_through_rebase(spark, tmp_path):
     cols = ["repo", "path", "commit", "content"]
     assert sorted(map(tuple, final.current().select(*cols).collect())) == \
            sorted(map(tuple, ref.current().select(*cols).collect()))
+
+
+def test_jdbc_keyset_scan_nonnumeric_pk_falls_back(spark, monkeypatch):
+    """String/UUID keyset columns can't range-partition: fall back to a
+    single-reader snapshot instead of crashing on int()."""
+    from pyspark.sql.readwriter import DataFrameReader
+
+    from cds_spark.streaming.pipeline import jdbc_keyset_scan
+
+    bounds = spark.createDataFrame([("000a-1", "fff9-2")], "lo string, hi string")
+    snapshot = spark.createDataFrame([(f"{i:04x}-x", i) for i in range(10)],
+                                     "id string, v long")
+    calls = []
+
+    def fake_jdbc(self, url, table, column=None, lowerBound=None,
+                  upperBound=None, numPartitions=None, properties=None):
+        calls.append({"table": table, "column": column})
+        return bounds if "cds_bounds" in table else snapshot
+
+    monkeypatch.setattr(DataFrameReader, "jdbc", fake_jdbc)
+    out = jdbc_keyset_scan(spark, "jdbc:mysql://db/x", "t", "id")
+    assert out.count() == 10
+    # second call must be the UNPARTITIONED read (no column/bounds)
+    assert calls[-1]["column"] is None
+
+
+def test_cascade_recovers_half_created_destination(spark, tmp_path):
+    """First cascade run crashed between create() and the bootstrap merge:
+    the empty destination is re-bootstrapped, not wedged."""
+    from cds_spark.streaming.pipeline import cascade_sync
+
+    src_root, dst_root = str(tmp_path / "hcs"), str(tmp_path / "hcd")
+    t = LakeTable.create(
+        spark, src_root, REPO_SCHEMA, pk=["repo", "path"],
+        version_cols=["commit", "_offset"], n_buckets=4,
+    )
+    feed = change_feed(spark, 300, n_repos=3, paths_per_repo=5, seed=83)
+    rows, _ = events_to_rows(
+        decode_feed(feed, inject={"commit": "commit"}), t.schema, t.pk
+    )
+    t.merge(rows, fence=("h", 0))
+    # simulate the crash: destination created, bootstrap merge never ran
+    LakeTable.create(
+        spark, dst_root, REPO_SCHEMA, pk=["repo", "path"],
+        version_cols=["commit", "_offset"], n_buckets=4,
+    )
+    r = cascade_sync(spark, src_root, dst_root, "hc")
+    assert r["applied"] == "bootstrap"
+    d = LakeTable.load(spark, dst_root)
+    assert d.current().count() == t.current().count()
+    # but a NON-empty foreign table still refuses
+    import pytest as _pytest
+    foreign = str(tmp_path / "hcf")
+    f = LakeTable.create(
+        spark, foreign, REPO_SCHEMA, pk=["repo", "path"],
+        version_cols=["commit", "_offset"], n_buckets=4,
+    )
+    f.merge(rows, fence=("other", 0))
+    with _pytest.raises(ValueError, match="refusing"):
+        cascade_sync(spark, src_root, foreign, "hc")
+
+
+def test_schema_evolution_null_first_occurrence_infers_value_type(spark, tmp_path):
+    """The first event carrying a new key may hold JSON null; the sampler
+    must infer from an event with a non-null VALUE (ALTER ADD is sticky)."""
+    table = _mk_table(spark, tmp_path, "nullsample")
+    ev = spark.createDataFrame(
+        [
+            ("c", "r1", "p1", "000001", 0,
+             '{"repo":"r1","path":"p1","commit":"000001","stars":null}', 0),
+            ("c", "r1", "p2", "000001", 1,
+             '{"repo":"r1","path":"p2","commit":"000001","stars":7}', 0),
+        ],
+        "op string, repo string, path string, commit string, offset long, payload string, partition int",
+    )
+    spec = JobSpec(job_id="ns", table_root=table.root, source_dir="unused",
+                   checkpoint_dir="unused")
+    IncrementalSync(spark, spec).process_batch(ev, 0)
+    t2 = LakeTable.load(spark, table.root)
+    types = {f.name: f.dataType.typeName() for f in t2.schema.fields}
+    assert types["stars"] == "long", types
