@@ -83,7 +83,11 @@ def _decode_stub(payload: bytes, media_type: str) -> dict:
     return {
         "n_bytes": len(payload),
         "digest": digest,
-        "feat_mean": (sum(payload[:64]) / max(1, min(len(payload), 64))) / 255.0,
+        # pseudo-random-in-[0,1] "feature", a pure function of the payload
+        # digest so the WHOLE feature row is SQL-expressible and the driver
+        # gate can hash-match it (single IEEE divide — bit-identical in
+        # Python and DuckDB)
+        "feat_mean": int(digest[:8], 16) / 4294967295.0,
         "n_frames_sampled": (len(payload) % 7) + 1,
     }
 

@@ -264,7 +264,7 @@ WITH e AS (
          TRY_CAST(CASE WHEN json_valid(props)
                        THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
   FROM events)
-SELECT event_type, count(*) AS n_events, sum(k) AS sum_k,
+SELECT event_type, count(*) AS n_events, CAST(sum(k) AS BIGINT) AS sum_k,
        CASE WHEN count(k) > 0
             THEN round(CAST(sum(k) AS DOUBLE) / count(k), 4) END AS avg_k
 FROM e GROUP BY event_type
@@ -924,12 +924,21 @@ FROM documents
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Arrow-batched mapInPandas feature-extraction path (stub decoder).
-    No SQL oracle for the full row (feat_mean is a Python-side float chain)
-    — driver records rows-only; the deterministic columns are hash-checked
-    via q_multimodal_features_digest."""
+    FULLY oracle-checked since round 3: every output column (including
+    feat_mean, a digest-derived double whose single IEEE divide is
+    bit-identical in Python and DuckDB) is a deterministic function of the
+    payload bytes, so the full Python row hash-matches pure SQL."""
     from cds_spark.operators.multimodal import extract_features, synth_media
 
-    return extract_features(synth_media(load(spark, sf_dir, "documents")))
+    feats = extract_features(synth_media(load(spark, sf_dir, "documents")))
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        "digest",
+        "feat_mean",
+        F.col("n_frames_sampled").cast("long").alias("n_frames_sampled"),
+    )
 
 
 def q_multimodal_features_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -948,6 +957,17 @@ def q_multimodal_features_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "digest",
         F.col("n_frames_sampled").cast("long").alias("n_frames_sampled"),
     )
+
+
+ORACLE_MULTIMODAL_FEATURES = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS digest,
+       CAST(concat('0x', substr(sha256(text), 1, 8)) AS BIGINT) / 4294967295.0 AS feat_mean,
+       CAST(octet_length(encode(text)) % 7 + 1 AS BIGINT) AS n_frames_sampled
+FROM documents
+"""
 
 
 ORACLE_MULTIMODAL_DIGEST = """
@@ -1035,7 +1055,7 @@ WITH o AS (
 )
 SELECT user_id, session_seq, count(*) AS n_events,
        min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
-       SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM s GROUP BY 1, 2
 """
 
@@ -1057,7 +1077,7 @@ def q_cdc_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_ROLLUP_DAILY = f"""
 SELECT strftime(ts, '%Y-%m-%d') AS day, {_OP_SQL} AS op, count(*) AS n_events,
-       SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
        CAST(GROUPING(strftime(ts, '%Y-%m-%d'), {_OP_SQL}) AS BIGINT) AS gid
 FROM events GROUP BY ROLLUP(1, 2)
 """
@@ -1162,8 +1182,7 @@ def _training_oracles() -> dict[str, str]:
         "text_holdout_split": textstats.SPLIT_SQL,
         "text_weighted_sample": textstats.WEIGHTED_SAMPLE_SQL,
         "multimodal_manifest": ORACLE_MULTIMODAL,
-        # multimodal_features: Python mapInPandas stage — rows-only check
-        # (feat_mean); its deterministic slice is hash-checked below
+        "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
         "multimodal_features_digest": ORACLE_MULTIMODAL_DIGEST,
     }
 

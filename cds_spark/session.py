@@ -58,33 +58,85 @@ _DEFAULTS = {
 }
 
 
-def _ensure_fast_local_fs(jvm_dir: str) -> bool:
-    """Compile FastLocalFileSystem.java against the LOCAL JDK on first use
-    (no committed binary: a checked-in .class targets one bytecode level —
-    e.g. 61/Java 17 — and on an older runtime every file op would die with
-    UnsupportedClassVersionError instead of falling back). A class compiled
-    here always matches the running JVM. Returns False (plain
-    RawLocalFileSystem fallback) when javac or the source is unavailable."""
-    cls = os.path.join(jvm_dir, "FastLocalFileSystem.class")
-    if os.path.exists(cls):
-        return True
+def _java_major() -> int | None:
+    """Feature version of the JVM Spark will launch (cached)."""
+    global _JAVA_MAJOR
+    if _JAVA_MAJOR != 0:
+        return _JAVA_MAJOR
+    java = os.path.join(os.environ.get("JAVA_HOME", ""), "bin", "java")
+    if not os.path.exists(java):
+        java = shutil.which("java")
+    major = None
+    if java:
+        try:
+            import re
+
+            out = subprocess.run(
+                [java, "-version"], capture_output=True, text=True, timeout=30
+            )
+            m = re.search(r'version "(\d+)(?:\.(\d+))?', out.stderr + out.stdout)
+            if m:
+                major = int(m.group(1))
+                if major == 1 and m.group(2):  # legacy "1.8.0" scheme
+                    major = int(m.group(2))
+        except Exception:
+            major = None
+    _JAVA_MAJOR = major
+    return major
+
+
+_JAVA_MAJOR: int | None = 0  # 0 = not probed yet
+
+
+def _class_major(path: str) -> int | None:
+    """Bytecode major version of a .class file (61 = Java 17), or None if
+    the file isn't valid classfile bytes."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(8)
+    except OSError:
+        return None
+    if len(head) < 8 or head[:4] != b"\xca\xfe\xba\xbe":
+        return None
+    return int.from_bytes(head[6:8], "big")
+
+
+def _ensure_fast_local_fs(jvm_dir: str) -> str | None:
+    """Compile FastLocalFileSystem.java against the LOCAL JDK on first use,
+    into a gitignored, JVM-version-keyed build dir
+    (``jvm/build/jdk{major}/``). No binary is ever committed, and a class is
+    only ACCEPTED after a load-compatibility probe: its classfile major
+    version must not exceed the running JVM's (a stale/foreign binary would
+    otherwise brick every file op with UnsupportedClassVersionError instead
+    of falling back). Returns the classpath dir to install, or None for the
+    plain RawLocalFileSystem fallback."""
+    jvm_major = _java_major()
+    if jvm_major is None:
+        return None
+    build = os.path.join(jvm_dir, "build", f"jdk{jvm_major}")
+    cls = os.path.join(build, "FastLocalFileSystem.class")
+    cm = _class_major(cls)
+    if cm is not None and cm - 44 <= jvm_major:
+        return build
     src = os.path.join(jvm_dir, "FastLocalFileSystem.java")
     javac = shutil.which("javac") or os.path.join(
         os.environ.get("JAVA_HOME", ""), "bin", "javac"
     )
-    if not (os.path.exists(src) and os.path.exists(javac)):
-        return False
+    if not (os.path.exists(src) and javac and os.path.exists(javac)):
+        return None
     try:
         import pyspark
 
         jars = os.path.join(os.path.dirname(os.path.abspath(pyspark.__file__)), "jars", "*")
+        os.makedirs(build, exist_ok=True)
         subprocess.run(
-            [javac, "-cp", jars, "-d", jvm_dir, src],
+            [javac, "-cp", jars, "-d", build, src],
             check=True, capture_output=True, timeout=120,
         )
     except Exception:
-        return False
-    return os.path.exists(cls)
+        return None
+    cm = _class_major(cls)
+    return build if cm is not None and cm - 44 <= jvm_major else None
 
 
 def submit_session(
@@ -145,8 +197,9 @@ def get_spark(
     # shell-outs no-opped — each one is a fork whose cost scales with JVM RSS
     # in this sandbox (~3.5s of fixed cost per micro-batch measured without it)
     jvm_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "jvm")
-    if _ensure_fast_local_fs(jvm_dir):
-        conf["spark.driver.extraClassPath"] = jvm_dir
+    fs_cp = _ensure_fast_local_fs(jvm_dir)
+    if fs_cp:
+        conf["spark.driver.extraClassPath"] = fs_cp
         conf["spark.hadoop.fs.file.impl"] = "FastLocalFileSystem"
     if extra_conf:
         conf.update(extra_conf)

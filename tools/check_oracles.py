@@ -22,11 +22,35 @@ import time
 sys.path.insert(0, ".")
 
 import duckdb  # noqa: E402
+import pyarrow as pa  # noqa: E402
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
+
+
+def fetch_duckdb_arrow(cur) -> tuple[list[str], list[tuple], list[str]]:
+    """Fetch a DuckDB result the way the driver does — through Arrow.
+
+    `fetchall()` converts HUGEINT to a lossless Python int, which HID a class
+    of driver failures in rounds 1-2: DuckDB promotes `sum(BIGINT)` to
+    HUGEINT, whose Arrow export is `decimal128(38,0)` — a different scalar
+    type than Spark's int64 under the driver's canonicalization. Fetching via
+    Arrow here makes the local gate share the driver's fetch path, and we
+    additionally HARD-FAIL any oracle whose output schema contains a
+    decimal/hugeint column so the whole class can never pass locally again
+    (fix: CAST the aggregate to BIGINT/DOUBLE in the oracle SQL).
+    """
+    tbl = cur.fetch_arrow_table()
+    bad = [
+        f.name for f in tbl.schema
+        if pa.types.is_decimal(f.type)
+    ]
+    cols = tbl.schema.names
+    pyl = tbl.to_pylist()
+    rows = [tuple(d[c] for c in cols) for d in pyl]
+    return cols, rows, bad
 
 
 def canon(v) -> str:
@@ -80,8 +104,13 @@ def main() -> int:
         status = []
         if name in oracles:
             cur = con.execute(oracles[name])
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            ocols, orows, decimal_cols = fetch_duckdb_arrow(cur)
+            if decimal_cols:
+                failed.append(name)
+                print(f"FAIL {name:32s} {time.time()-t0:6.1f}s  "
+                      f"oracle emits DECIMAL/HUGEINT column(s) {decimal_cols} "
+                      f"— CAST the aggregate in the oracle SQL")
+                continue
             ok_count = len(srows) == len(orows)
             ok_schema = sorted(scols) == sorted(ocols)
             sh, oh = value_hash(scols, srows), value_hash(ocols, orows)
