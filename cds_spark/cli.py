@@ -207,25 +207,56 @@ def cmd_expire(args) -> int:
 
 
 def parse_key_spec(spec: str, pk: list[str]) -> dict:
-    """Parse one ``--key col=val,col=val`` spec. Values may contain commas
-    and '=' (file paths do): a ',' only terminates a value when what
-    follows is ANOTHER PK column assignment (``<pk-col>=``), so
-    ``repo=org/a,path=src/x,y=1.py`` keys on repo + the full path."""
+    """Parse one ``--key`` spec. Two forms:
+
+    - JSON object (unambiguous — any value bytes): ``--key '{"repo": "a",
+      "path": "x,path=weird.py"}'``. Picked whenever the spec starts with
+      ``{``.
+    - ``col=val,col=val`` shorthand. Values may contain commas and '='
+      (file paths do): a ',' only terminates a value when what follows is
+      ANOTHER PK column assignment (``<pk-col>=``), so
+      ``repo=org/a,path=src/x,y=1.py`` keys on repo + the full path. A
+      value that itself CONTAINS a ``,<pk-col>=`` sequence would be
+      mis-split — that case is DETECTED (the same column appears assigned
+      twice) and rejected with a pointer at the JSON form instead of
+      silently looking up the wrong key.
+    """
     import re
 
-    starts = sorted(
-        m.start()
-        for c in pk
-        for m in re.finditer(rf"(?:^|,){re.escape(c)}=", spec)
-    )
-    if not starts or starts[0] not in (0,):
-        raise SystemExit(f"--key must start with a PK column assignment, one of {pk}")
-    out = {}
-    for i, s in enumerate(starts):
-        seg = spec[s:starts[i + 1]] if i + 1 < len(starts) else spec[s:]
-        seg = seg.lstrip(",")
-        c, _, v = seg.partition("=")
-        out[c] = v
+    if spec.lstrip().startswith("{"):
+        try:
+            out = json.loads(spec)
+        except json.JSONDecodeError as e:
+            raise SystemExit(f"--key JSON form failed to parse: {e}")
+        if not isinstance(out, dict):
+            raise SystemExit("--key JSON form must be an object")
+        extra = [c for c in out if c not in pk]
+        if extra:
+            raise SystemExit(f"--key JSON sets non-PK column(s) {extra}; PK is {pk}")
+        out = {c: str(v) for c, v in out.items()}
+    else:
+        starts = sorted(
+            m.start()
+            for c in pk
+            for m in re.finditer(rf"(?:^|,){re.escape(c)}=", spec)
+        )
+        if not starts or starts[0] not in (0,):
+            raise SystemExit(f"--key must start with a PK column assignment, one of {pk}")
+        out = {}
+        seen = []
+        for i, s in enumerate(starts):
+            seg = spec[s:starts[i + 1]] if i + 1 < len(starts) else spec[s:]
+            seg = seg.lstrip(",")
+            c, _, v = seg.partition("=")
+            seen.append(c)
+            out[c] = v
+        if len(seen) != len(set(seen)):
+            dups = sorted({c for c in seen if seen.count(c) > 1})
+            raise SystemExit(
+                f"--key assigns column(s) {dups} more than once — a value "
+                f"probably contains a ',<pk-col>=' sequence; pass the key as "
+                f"JSON instead: --key '{{\"col\": \"value\"}}'"
+            )
     missing = [c for c in pk if c not in out]
     if missing:
         raise SystemExit(f"--key must set every PK column; missing {missing}")
@@ -421,7 +452,9 @@ def build_parser() -> argparse.ArgumentParser:
         "lookup", help="PK point fetch routed to the owning bucket (O(keys))")
     common(sp)
     sp.add_argument("--key", action="append", required=True,
-                    help="repeatable: col=val[,col=val...] covering every PK column")
+                    help="repeatable: col=val[,col=val...] covering every PK "
+                         "column, or a JSON object '{\"col\": \"val\"}' for "
+                         "values containing ',<col>=' sequences")
     sp.set_defaults(fn=cmd_lookup)
 
     sp = sub.add_parser(

@@ -111,6 +111,29 @@ OFFSET = "_offset"
 #: so this is generous; above it, the classic union+collapse shuffle runs)
 UPSERT_BROADCAST_ROWS = 4_000_000
 
+#: byte ceiling for any broadcast key/version relation: a row-count-only
+#: gate near the 4M cap could build a multi-GB broadcast from wide string
+#: PKs and fail the job instead of falling back — estimated bytes (row
+#: width from the pk/version column types) must also fit
+UPSERT_BROADCAST_BYTES = 256 << 20
+
+
+def _est_row_width(fields: Sequence[T.StructField]) -> int:
+    """Estimated in-memory bytes per broadcast row (UnsafeRow-ish): fixed
+    widths for numerics, a conservative average for strings/binary."""
+    w = 16  # row object + null bitmap overhead
+    for f in fields:
+        t = f.dataType.typeName()
+        if t in ("long", "double", "timestamp", "date", "integer", "float"):
+            w += 8
+        elif t == "boolean":
+            w += 1
+        elif t in ("string", "binary"):
+            w += 8 + 40  # offset word + average payload
+        else:
+            w += 24
+    return w
+
 class CommitConflict(RuntimeError):
     """Another writer committed the version this writer tried to claim."""
 
@@ -880,6 +903,16 @@ class LakeTable:
             touched = sorted(int(r["_bucket"]) for r in bucket_counts)
             n_src = sum(int(r["count"]) for r in bucket_counts)
             if not touched:
+                # an empty batch must still RECORD a passed fence (append
+                # mode commits one anyway): otherwise cascade_sync on an
+                # upsert destination never advances fence.{job_id} across
+                # compact-only upstream windows and recomputes the same
+                # empty delta every tick
+                if fence:
+                    self._commit_with_rebase(
+                        {"operation": "fence-only", "touched_buckets": 0},
+                        set(), [], {f"fence.{fence[0]}": int(fence[1])},
+                    )
                 return MergeStats(skipped=False, version=self.version, source_rows=0,
                                   total_buckets=self.n_buckets)
             target = self.read(
@@ -890,8 +923,10 @@ class LakeTable:
             # a single-generation target (a needs_collapse table may hold
             # several versions per key per bucket — only the classic
             # collapse dedups those)
-            if n_src <= UPSERT_BROADCAST_ROWS and not self.properties.get(
-                "needs_collapse"
+            if (
+                n_src <= UPSERT_BROADCAST_ROWS
+                and n_src * self._kv_row_width() <= UPSERT_BROADCAST_BYTES
+                and not self.properties.get("needs_collapse")
             ):
                 merged = self._merge_via_broadcast(target, src)
             if merged is None:
@@ -930,6 +965,13 @@ class LakeTable:
             )
         finally:
             src.unpersist()
+
+    def _kv_row_width(self) -> int:
+        """Estimated broadcast bytes/row for this table's (pk, version)
+        relation — the payload both broadcast plans ship."""
+        names = set(self.pk) | set(self.version_cols)
+        fields = list(self.schema.fields) + META_FIELDS  # _offset may be a version col
+        return _est_row_width([f for f in fields if f.name in names])
 
     def _merge_via_broadcast(self, target: DataFrame, src: DataFrame) -> DataFrame | None:
         """Upsert merge without the wide union+collapse shuffle.
@@ -1100,7 +1142,7 @@ class LakeTable:
             .persist()
         )
         n = winners.count()
-        if n > threshold:
+        if n > threshold or n * self._kv_row_width() > UPSERT_BROADCAST_BYTES:
             winners.unpersist()
             return None, None
         keyed = winners.select(

@@ -53,6 +53,12 @@ def asof_join(
     keys = [on] if isinstance(on, str) else list(on)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in set(keys) | {right_ts}]
+    # A NULL right timestamp must never match (DuckDB/pandas ASOF semantics:
+    # the ts comparison is NULL -> false). Without this filter, ASC ordering
+    # puts NULL-_ats rights FIRST in the window and they'd become
+    # carry-forward matches for every left row. NULL-ts LEFT rows also sort
+    # first and therefore see no right row — kept, right columns NULL.
+    right = right.filter(F.col(right_ts).isNotNull())
     rv = F.struct(
         F.col(right_ts).alias("_rts"), *[F.col(c) for c in right_cols]
     )

@@ -369,7 +369,9 @@ def jdbc_keyset_scan(
     pc = partition_column
     bounds_q = f"(SELECT MIN({pc}) AS lo, MAX({pc}) AS hi FROM {table}) cds_bounds"
     b = spark.read.jdbc(url, bounds_q, properties=props).collect()[0]
-    lo, hi = b["lo"], b["hi"]
+    # case-insensitive field access: Derby/Oracle upper-case unquoted aliases
+    bd = {k.lower(): v for k, v in b.asDict().items()}
+    lo, hi = bd["lo"], bd["hi"]
     try:
         lo_i, hi_i = (None, None) if lo is None else (int(lo), int(hi))
     except (TypeError, ValueError):
@@ -407,6 +409,64 @@ def _source_type_to_spark(sql_type: str):
     if "date" in t or "time" in t:
         return T.TimestampType()
     return T.StringType()
+
+
+def introspect_jdbc_metadata(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict | None = None,
+):
+    """Universal introspection through ``java.sql.DatabaseMetaData`` —
+    the JDBC-standard probe every driver implements (getColumns +
+    getPrimaryKeys), reached via the driver JVM. Covers sources with no
+    information_schema at all (Derby, Oracle, older SQLite drivers); used
+    as the final fallback of :func:`introspect_jdbc` and e2e-tested against
+    a LIVE embedded Derby database (test_jdbc_derby_live.py). TYPE_NAMEs
+    map through the same reference type lattice
+    (cmd/dm/util/mysqltypeconv.go:128-141)."""
+    from pyspark.sql import types as T
+
+    jvm = spark._sc._jvm  # noqa: SLF001 — public py4j JVM view
+    props = dict(properties or {})
+    if "driver" in props:
+        # ensure the driver class registers with DriverManager
+        jvm.java.lang.Class.forName(props["driver"])
+    jprops = jvm.java.util.Properties()
+    for k, v in props.items():
+        if k != "driver":
+            jprops.setProperty(k, str(v))
+    conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
+    try:
+        md = conn.getMetaData()
+        # unquoted identifiers fold differently per engine: try the name
+        # as given, then the engine's folded forms
+        for name in (table, table.upper(), table.lower()):
+            cols = []
+            rs = md.getColumns(None, None, name, None)
+            while rs.next():
+                cols.append(
+                    (
+                        rs.getString("COLUMN_NAME"),
+                        rs.getString("TYPE_NAME") or "",
+                        rs.getInt("ORDINAL_POSITION"),
+                    )
+                )
+            rs.close()
+            if not cols:
+                continue
+            pks = []
+            rs = md.getPrimaryKeys(None, None, name)
+            while rs.next():
+                pks.append((rs.getString("COLUMN_NAME"), rs.getShort("KEY_SEQ")))
+            rs.close()
+            cols.sort(key=lambda c: c[2])
+            fields = [T.StructField(c[0], _source_type_to_spark(c[1])) for c in cols]
+            pk = [c for c, _ in sorted(pks, key=lambda p: p[1])]
+            return T.StructType(fields), pk
+    finally:
+        conn.close()
+    raise ValueError(f"introspect_jdbc_metadata: table {table!r} not found")
 
 
 def introspect_jdbc(
@@ -447,7 +507,13 @@ def introspect_jdbc(
         # non-MySQL sources: column_type/column_key/database() are MySQL
         # dialect — retry with the ANSI names (no PK metadata there; the
         # caller supplies pk=)
-        raw = spark.read.jdbc(url, q_ansi, properties=dict(properties or {})).collect()
+        try:
+            raw = spark.read.jdbc(url, q_ansi, properties=dict(properties or {})).collect()
+        except Exception:
+            # no information_schema at all (Derby, Oracle, SQLite): the
+            # JDBC-standard DatabaseMetaData probe works everywhere and
+            # recovers the PK too
+            return introspect_jdbc_metadata(spark, url, table, properties)
     rows = sorted(raw, key=lambda r: int(r["pos"]))
     if not rows:
         raise ValueError(f"introspect_jdbc: source table {table!r} has no columns")

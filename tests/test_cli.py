@@ -125,3 +125,16 @@ def test_parse_key_spec():
         parse_key_spec("repo=only", pk)
     with _pytest.raises(SystemExit):
         parse_key_spec("bogus=1,repo=r,path=p", pk)
+    # JSON form: unambiguous for any value bytes, incl. embedded ',<pk>='
+    assert parse_key_spec('{"repo": "r", "path": "x,repo=evil.py"}', pk) == {
+        "repo": "r", "path": "x,repo=evil.py"}
+    with _pytest.raises(SystemExit):
+        parse_key_spec('{"repo": "r"}', pk)  # missing path
+    with _pytest.raises(SystemExit):
+        parse_key_spec('{"repo": "r", "path": "p", "zap": 1}', pk)
+    with _pytest.raises(SystemExit):
+        parse_key_spec('{"broken', pk)
+    # an ambiguous shorthand (value embeds ',<pk-col>=') is DETECTED via the
+    # duplicate assignment it produces, not silently mis-keyed
+    with _pytest.raises(SystemExit, match="JSON"):
+        parse_key_spec("repo=r,path=x,repo=evil.py,path=p", pk)

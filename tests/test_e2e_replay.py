@@ -101,6 +101,28 @@ def test_fence_skips_applied_batch(spark, feed, tmp_path):
     assert s3.skipped
 
 
+def test_empty_upsert_batch_still_records_fence(spark, feed, tmp_path):
+    """An all-filtered-out (zero-row) upsert batch must still advance the
+    fence with a properties-only snapshot — otherwise cascade_sync on an
+    upsert destination re-reads the same upstream window forever across
+    compact-only ticks."""
+    root = str(tmp_path / "empty_fence_table")
+    table = LakeTable.create(
+        spark, root, REPO_SCHEMA, pk=["repo", "path"],
+        version_cols=["commit", "_offset"], n_buckets=8,
+    )
+    empty = spark.createDataFrame([], REPO_SCHEMA)
+    v0 = table.version
+    s = table.merge(empty, fence=("jobx", 7), mode="upsert")
+    assert not s.skipped
+    assert table.properties.get("fence.jobx") == 7
+    assert table.version == v0 + 1  # exactly one properties-only snapshot
+    assert table.current().count() == 0
+    # replay of the same batch is now fenced out
+    s2 = table.merge(empty, fence=("jobx", 7), mode="upsert")
+    assert s2.skipped
+
+
 def test_lww_collapse_in_batch(spark):
     """c+u on the same PK collapses to one row keeping the newer value —
     mirrors cmd/rtu/handle/parse_test.go:96-134."""

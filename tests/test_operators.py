@@ -519,6 +519,25 @@ def test_asof_join_tie_rule(spark):
     assert len(rows) == 1 and rows[0]["rid"] == 9
 
 
+def test_asof_join_null_timestamps_never_match(spark):
+    """DuckDB/pandas ASOF semantics: a NULL right ts matches nothing (it
+    must not become a nulls-first carry-forward for every left row), and a
+    NULL left ts keeps its row with NULL right columns."""
+    from cds_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 10.0, 1), ("a", None, 2)], "k string, t double, lid int"
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "lid")
+    right = spark.createDataFrame(
+        [("a", None, 50), ("a", 5.0, 51)], "k string, t double, rid int"
+    ).select("k", F.timestamp_seconds("t").alias("ts"), "rid")
+    out = {r["lid"]: r for r in asof_join(left, right, on="k").collect()}
+    assert len(out) == 2                 # both left rows kept
+    assert out[1]["rid"] == 51           # matches the real 5.0 row, not NULL-ts
+    assert out[2]["rid"] is None         # NULL left ts: no match
+    assert out[2]["ts_r"] is None
+
+
 def test_sessionize_gap_boundaries(spark):
     from cds_spark.operators.timeseries import sessionize
 
