@@ -68,6 +68,54 @@ def _spark(args):
     return spark
 
 
+def cmd_generate_create_sql(args) -> int:
+    """Dry-run DDL generation — the galaxy `generate-create-sql` analog
+    (pkg/mysqlx/clickhouse.go:12-76): introspect a live JDBC source (or
+    take --schema) and EMIT, without executing, (a) the cds create-table
+    argv, (b) an ANSI CREATE TABLE for the collapsed view, (c) the
+    introspected schema + PK as data."""
+    if args.jdbc_url:
+        from cds_spark.secrets import expand_env
+        from cds_spark.streaming.pipeline import introspect_jdbc
+
+        schema, src_pk = introspect_jdbc(
+            _spark(args), expand_env(args.jdbc_url), args.jdbc_table,
+            {"driver": args.jdbc_driver} if args.jdbc_driver else None,
+        )
+        pk = args.pk.split(",") if args.pk else src_pk
+    elif args.schema:
+        schema = parse_schema(args.schema)
+        pk = (args.pk or "").split(",") if args.pk else []
+    else:
+        raise SystemExit("generate-create-sql needs --jdbc-url or --schema")
+    if not pk or pk == [""]:
+        raise SystemExit("no PK: source exposes none — pass --pk")
+    version_cols = args.version_cols.split(",") if args.version_cols else ["_offset"]
+
+    _ANSI = {"long": "BIGINT", "integer": "INTEGER", "double": "DOUBLE",
+             "float": "REAL", "string": "VARCHAR", "boolean": "BOOLEAN",
+             "timestamp": "TIMESTAMP", "date": "DATE", "binary": "BLOB"}
+    cols_sql = ",\n  ".join(
+        f"{f.name} {_ANSI.get(f.dataType.typeName(), 'VARCHAR')}"
+        for f in schema.fields
+    )
+    ansi = (f"CREATE TABLE {args.name or args.jdbc_table or 'target'} (\n"
+            f"  {cols_sql},\n  PRIMARY KEY ({', '.join(pk)})\n)")
+    spec = ",".join(f"{f.name}:{f.dataType.typeName()}" for f in schema.fields)
+    argv = ["create-table", "--root", args.root or "<table-root>",
+            "--schema", spec, "--pk", ",".join(pk),
+            "--version-cols", ",".join(version_cols),
+            "--buckets", str(args.buckets), "--merge-mode", args.merge_mode]
+    print(json.dumps({
+        "schema": [{"name": f.name, "type": f.dataType.typeName()}
+                   for f in schema.fields],
+        "pk": pk, "version_cols": version_cols,
+        "create_table_argv": argv, "ansi_sql": ansi,
+        "executed": False,
+    }, indent=2))
+    return 0
+
+
 def cmd_create_table(args) -> int:
     from cds_spark.lake.table import LakeTable
 
@@ -91,8 +139,13 @@ def cmd_bootstrap(args) -> int:
 
     spark = _spark(args)
     if args.jdbc_url:
+        from cds_spark.secrets import expand_env
+
+        # --jdbc-url 'jdbc:mysql://host/db?user=${DB_USER}&password=${DB_PASS}'
+        # resolves from the environment at run time; the plaintext never
+        # needs to live in a shell history / job file
         table = bootstrap_jdbc(
-            spark, args.jdbc_url, args.jdbc_table or args.source, args.root,
+            spark, expand_env(args.jdbc_url), args.jdbc_table or args.source, args.root,
             pk=args.pk.split(","),
             version_cols=args.version_cols.split(","),
             n_buckets=args.buckets,
@@ -391,6 +444,22 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--buckets", type=int, default=64)
     sp.add_argument("--merge-mode", choices=["append", "upsert"], default="append")
     sp.set_defaults(fn=cmd_create_table)
+
+    sp = sub.add_parser("generate-create-sql",
+                        help="DRY-RUN DDL: introspect a source and emit the "
+                             "create-table command + ANSI SQL without executing")
+    sp.add_argument("--jdbc-url", default=None)
+    sp.add_argument("--jdbc-table", default=None)
+    sp.add_argument("--jdbc-driver", default=None)
+    sp.add_argument("--schema", default=None, help="name:type,... (instead of JDBC)")
+    sp.add_argument("--pk", default=None, help="override/supply PK columns")
+    sp.add_argument("--version-cols", default=None)
+    sp.add_argument("--buckets", type=int, default=64)
+    sp.add_argument("--merge-mode", choices=["append", "upsert"], default="append")
+    sp.add_argument("--name", default=None, help="target table name in the SQL")
+    sp.add_argument("--root", default=None)
+    sp.add_argument("--cores", type=int, default=None)
+    sp.set_defaults(fn=cmd_generate_create_sql)
 
     sp = sub.add_parser("bootstrap", help="full sync: parquet snapshot or live JDBC -> table")
     common(sp)

@@ -410,8 +410,98 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_MAX}
 # ---------------------------------------------------------------------------
 
 
+def _iter_checkpoint(df: DataFrame) -> DataFrame:
+    """Lineage truncation for iterative algorithms. RELIABLE checkpoint
+    (HDFS/S3, survives executor loss) when the session has a checkpoint dir
+    configured — the required mode on a real cluster, where a lost
+    localCheckpoint block kills the whole iteration; localCheckpoint
+    (executor-local blocks, zero I/O) otherwise, exact in single-JVM runs."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir():
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
+def _cc_star(nodes: DataFrame, edges_sym: DataFrame, max_iters: int) -> DataFrame:
+    """Connected components via alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — O(log n) rounds even on ADVERSARIAL chain graphs, where
+    plain label propagation needs diameter iterations. Same join/groupBy
+    primitives as the min-label path; edge volume never grows beyond
+    O(|edges|) per round.
+
+    Edges are kept canonical as (hi, lo), hi > lo. At the fixpoint the
+    edge set is a star forest: every non-root node carries exactly one
+    edge to its component min."""
+    E = (
+        edges_sym.where(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("hi"),
+            F.least("src", "dst").alias("lo"),
+        )
+        .distinct()
+    )
+    E = _iter_checkpoint(E)
+    for _ in range(max_iters):
+        # large-star(u): m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u.
+        # m <= u < v, so the emitted edge is canonical by construction.
+        sym = E.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionAll(
+            E.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        m_of_u = F.least(F.col("u"), F.col("mn"))
+        E1 = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), m_of_u.alias("lo"))
+            .distinct()
+        )
+        # small-star(u): N = smaller neighbors of u (lo side of canonical
+        # edges keyed by hi); m = min(N); emit (v, m) for v ∈ N \ {m} and
+        # the edge (u, m) itself.
+        mins2 = E1.groupBy("hi").agg(F.min("lo").alias("m"))
+        rewired = (
+            E1.join(mins2, "hi")
+            .where(F.col("lo") != F.col("m"))
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+        )
+        E2 = (
+            rewired.unionAll(mins2.select("hi", F.col("m").alias("lo")))
+            .where(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+        E2 = _iter_checkpoint(E2)
+        # fixpoint = identical edge sets (symmetric difference empty):
+        # union of two distinct sets — a row appearing once is in only one
+        changed = (
+            E2.unionAll(E)
+            .groupBy("hi", "lo")
+            .count()
+            .where(F.col("count") == 1)
+            .count()
+        )
+        E = E2
+        if changed == 0:
+            star = E.groupBy(F.col("hi").alias("doc_id")).agg(
+                F.min("lo").alias("label")
+            )
+            return (
+                nodes.join(star, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce("label", F.col("doc_id")).alias("cluster_id"),
+                )
+            )
+    raise RuntimeError(
+        f"star connected-components did not converge in {max_iters} rounds"
+    )
+
+
 def near_dup_clusters(
-    docs: DataFrame, pairs: DataFrame | None = None, max_iters: int = 25
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    max_iters: int = 25,
+    algorithm: str = "minlabel",
 ) -> DataFrame:
     """(doc_id, cluster_id): connected components over the near-dup pair
     graph — cluster_id = min doc_id in the component; singletons cluster
@@ -431,22 +521,28 @@ def near_dup_clusters(
 
     100TB notes: each iteration shuffles (edges join labels) — volume is
     O(|pairs|), already linearized by the banded LSH candidate
-    generation. For adversarial graphs (long chains) swap in
-    large-star/small-star (two-phase CC) — same join primitives,
-    O(log n) iterations."""
+    generation. ``algorithm="star"`` runs alternating large-star/
+    small-star instead (same primitives, O(log n) rounds) — pick it for
+    adversarial graphs (very long chains). Both variants use RELIABLE
+    checkpointing when ``sc.setCheckpointDir`` is configured (required on
+    a real cluster — a localCheckpoint block dies with its executor) and
+    localCheckpoint otherwise."""
     if pairs is None:
         pairs = minhash_lsh_pairs(docs)
     e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    # localCheckpoint (eager) per iteration: persist alone leaves the full
-    # join lineage in the PLAN, and a deep iterative plan OOMs the driver
-    # during analysis long before the data does. On a real cluster swap
-    # for reliable checkpointing (localCheckpoint blocks die with an
-    # executor); in this single-JVM sandbox it is exact.
-    edges = (
-        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .localCheckpoint(eager=True)
+    nodes = docs.select("doc_id")
+    e_sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    labels = docs.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint(True)
+    if algorithm == "star":
+        return _cc_star(nodes, e_sym, max_iters)
+    if algorithm != "minlabel":
+        raise ValueError(f"unknown algorithm {algorithm!r}: 'minlabel' or 'star'")
+    # checkpoint per iteration: persist alone leaves the full join lineage
+    # in the PLAN, and a deep iterative plan OOMs the driver during
+    # analysis long before the data does.
+    edges = _iter_checkpoint(e_sym)
+    labels = _iter_checkpoint(docs.select("doc_id", F.col("doc_id").alias("label")))
     for it in range(max_iters):
         # (a) neighbor-min: pull the smallest label across each edge
         nbr = (
@@ -469,7 +565,7 @@ def near_dup_clusters(
         # O(log diameter) instead of O(diameter) (long near-dup chains DO
         # occur: each doc similar to its neighbor but not to the far end)
         j = stepped.select(F.col("doc_id").alias("__l"), F.col("label").alias("__ll"))
-        new = (
+        new = _iter_checkpoint(
             stepped.join(j, stepped["label"] == j["__l"], "left")
             .select(
                 stepped["doc_id"],
@@ -477,7 +573,6 @@ def near_dup_clusters(
                     stepped["label"], F.coalesce(F.col("__ll"), stepped["label"])
                 ).alias("label"),
             )
-            .localCheckpoint(True)
         )
         changed = (
             new.alias("n")

@@ -186,14 +186,24 @@ class IncrementalSync:
                 "decoder='arrow' requires evolve_schema=False (the Arrow "
                 "form carries no raw payload for new-column type sampling)"
             )
+        from cds_spark.secrets import expand_spec_env, spec_public_view
+
         self.spark = spark
-        self.spec = spec
+        # runtime sees ${ENV} placeholders RESOLVED (DSNs, brokers, paths);
+        # everything durable/observable logs the public view (unexpanded
+        # placeholders, plaintext credentials redacted) — the Spark analog
+        # of the reference's encrypted etcd job records (etcdjob.go:62-78)
+        self.spec = expand_spec_env(spec)
+        self._spec_public = spec_public_view(spec)
+        spec = self.spec
         self.table = LakeTable.load(spark, spec.table_root)
         self.lineage_path = os.path.join(
             spec.lineage_dir or os.path.join(spec.table_root, "_lineage"),
             f"{spec.job_id}.jsonl",
         )
         os.makedirs(os.path.dirname(self.lineage_path), exist_ok=True)
+        self._append_lineage({"job_start": True, "ts": time.time(),
+                              "spec": self._spec_public})
 
     # -- one micro-batch (also callable directly for batch-mode replay) ----
     def process_batch(self, batch: DataFrame, batch_id: int) -> dict:
@@ -550,6 +560,136 @@ def bootstrap_jdbc(
     return bootstrap(
         spark, src, table_root, pk=pk, version_cols=version_cols, n_buckets=n_buckets
     )
+
+
+def _hour_in_window(hour: int, start_hour: int, end_hour: int) -> bool:
+    """The reference's execution-window rule (mongo2clickhouse.go:99-103):
+    (0, 0) = no window (always allowed); otherwise the job may run only
+    while start_hour <= hour <= end_hour."""
+    if start_hour == 0 and end_hour == 0:
+        return True
+    return start_hour <= hour <= end_hour
+
+
+def full_sync_windowed(
+    spark: SparkSession,
+    source: DataFrame,
+    table_root: str,
+    pk: list[str],
+    version_cols: list[str],
+    keyset_col: str | None = None,
+    n_chunks: int = 16,
+    n_buckets: int = 64,
+    window_hours: tuple[int, int] = (0, 0),
+    status_path: str | None = None,
+    job_id: str = "fullsync",
+    clock=None,
+) -> dict:
+    """Window-gated, mid-collection-resumable full sync — the dm Mongo
+    lifecycle (cmd/dm/data/mongo2clickhouse.go:99-108 + the PAUSE/resume
+    manager, cmd/dm/module/manager.go:45-69) re-expressed Spark-first:
+
+    - the collection scan is split into ``n_chunks`` keyset ranges on
+      ``keyset_col`` (default: first pk column) — the chunk is the unit of
+      both window-gating and resume, like the reference's 50k-row batches;
+    - BEFORE each chunk, the wall-clock hour is checked against
+      ``window_hours`` (start, end): outside the window the job STOPS,
+      writing a PAUSE status with the first unsynced chunk's lower bound
+      (the reference records the first unwritten ``_id``);
+    - each chunk lands via an offset-fenced append merge, so a resumed or
+      crashed-and-replayed chunk is idempotent — resume just reruns the
+      loop and the fence skips completed chunks even if the status file
+      was lost.
+
+    ``status_path`` (default ``<table_root>/_fullsync.<job_id>.json``)
+    carries {status: RUNNING|PAUSE|FINISHED, next_chunk, next_key} — the
+    etcd status record analog. ``clock`` is an injectable ``lambda ->
+    datetime`` for tests. Returns the final status dict.
+
+    At 100TB: each chunk is a bounded distributed job (scan one keyset
+    stride, bucket-shuffle, write); the driver loop adds no per-row work,
+    and a pause/resume boundary costs one fence check per chunk."""
+    import datetime
+
+    clock = clock or (lambda: datetime.datetime.now())
+    status_path = status_path or os.path.join(
+        table_root, f"_fullsync.{job_id}.json"
+    )
+
+    kc = keyset_col or pk[0]
+    b = source.agg(
+        F.min(kc).alias("lo"), F.max(kc).alias("hi")
+    ).collect()[0]
+    lo, hi = b["lo"], b["hi"]
+
+    schema = source.schema
+    if LakeTable.exists(table_root):
+        table = LakeTable.load(spark, table_root)
+    else:
+        import pyspark.sql.types as T
+
+        from cds_spark.lake.table import IS_DELETE, OFFSET
+
+        logical = T.StructType(
+            [f for f in schema.fields if f.name not in (IS_DELETE, OFFSET)]
+        )
+        table = LakeTable.create(
+            spark, table_root, logical, pk=pk, version_cols=version_cols,
+            n_buckets=n_buckets, properties={"merge_mode": "append"},
+        )
+
+    def _write_status(st: dict) -> None:
+        os.makedirs(os.path.dirname(status_path), exist_ok=True)
+        tmp = status_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(st, f)
+        os.replace(tmp, status_path)
+
+    prev = {}
+    if os.path.exists(status_path):
+        with open(status_path) as f:
+            prev = json.load(f)
+        if prev.get("status") == "FINISHED":
+            return prev
+    start_chunk = int(prev.get("next_chunk", 0))
+
+    if lo is None:  # empty source
+        st = {"job_id": job_id, "status": "FINISHED", "next_chunk": n_chunks}
+        _write_status(st)
+        return st
+    numeric = isinstance(lo, (int, float))
+    span = (int(hi) - int(lo) + 1) if numeric else None
+
+    for i in range(start_chunk, n_chunks):
+        hour = clock().hour
+        if not _hour_in_window(hour, *window_hours):
+            if numeric:
+                next_key = int(lo) + (span * i) // n_chunks
+            else:
+                next_key = None
+            st = {
+                "job_id": job_id, "status": "PAUSE",
+                "next_chunk": i, "next_key": next_key,
+                "window_hours": list(window_hours),
+            }
+            _write_status(st)
+            return st
+        if numeric:
+            c_lo = int(lo) + (span * i) // n_chunks
+            c_hi = int(lo) + (span * (i + 1)) // n_chunks
+            chunk = source.filter((F.col(kc) >= c_lo) & (F.col(kc) < c_hi))
+        else:
+            # non-numeric keyset: hash-stripe the key space (same resume
+            # unit; ranges just aren't contiguous in key order)
+            chunk = source.filter(
+                F.pmod(F.xxhash64(kc), F.lit(n_chunks)) == i
+            )
+        table.merge(chunk, fence=(f"fullsync.{job_id}", i), mode="append")
+        _write_status({"job_id": job_id, "status": "RUNNING", "next_chunk": i + 1})
+
+    st = {"job_id": job_id, "status": "FINISHED", "next_chunk": n_chunks}
+    _write_status(st)
+    return st
 
 
 def bootstrap(

@@ -21,6 +21,24 @@ def _run(capsys, argv):
     return out
 
 
+def test_generate_create_sql_dry_run(capsys):
+    """galaxy generate-create-sql analog: emits DDL + argv, executes NOTHING
+    (no --root exists afterwards, no Spark session needed for --schema)."""
+    out = json.loads(_run(capsys, [
+        "generate-create-sql",
+        "--schema", "repo:string,path:string,commit:string,n:long",
+        "--pk", "repo,path", "--version-cols", "commit,_offset",
+        "--name", "repos",
+    ]))
+    assert out["executed"] is False
+    assert out["pk"] == ["repo", "path"]
+    assert "CREATE TABLE repos" in out["ansi_sql"]
+    assert "PRIMARY KEY (repo, path)" in out["ansi_sql"]
+    assert "n BIGINT" in out["ansi_sql"]
+    assert out["create_table_argv"][0] == "create-table"
+    assert "--pk" in out["create_table_argv"]
+
+
 def test_cli_end_to_end(spark, tmp_path, capsys):
     root = str(tmp_path / "repos")
     topic = str(tmp_path / "topic")

@@ -1,0 +1,129 @@
+"""Window-gated resumable full sync — parity with the reference's dm Mongo
+lifecycle: pause outside the execution window recording the first unsynced
+position (mongo2clickhouse.go:99-108), resume mid-collection from the saved
+status (manager.go:45-69), idempotent under replay via chunk fences."""
+
+import datetime
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from cds_spark.streaming.pipeline import (  # noqa: E402
+    _hour_in_window,
+    full_sync_windowed,
+)
+
+
+def test_hour_window_rule():
+    assert _hour_in_window(3, 0, 0)        # (0,0) = no window
+    assert _hour_in_window(2, 1, 5)
+    assert _hour_in_window(1, 1, 5) and _hour_in_window(5, 1, 5)
+    assert not _hour_in_window(0, 1, 5)
+    assert not _hour_in_window(6, 1, 5)
+
+
+class FakeClock:
+    """Yields a scripted sequence of hours, then repeats the last one."""
+
+    def __init__(self, hours):
+        self.hours = list(hours)
+
+    def __call__(self):
+        h = self.hours.pop(0) if len(self.hours) > 1 else self.hours[0]
+        return datetime.datetime(2026, 1, 1, h, 30)
+
+
+def test_pause_resume_completes_and_matches(spark, tmp_path):
+    from cds_spark.lake.table import LakeTable
+
+    src = spark.range(0, 1000).selectExpr(
+        "id AS doc_id", "concat('v-', id) AS val", "id AS ver"
+    )
+    root = str(tmp_path / "t")
+    status_path = str(tmp_path / "status.json")
+
+    # window = hours [2, 4]; clock: 2 checks inside, then outside
+    clock = FakeClock([2, 3, 7])
+    st = full_sync_windowed(
+        spark, src, root, pk=["doc_id"], version_cols=["ver"],
+        n_chunks=5, n_buckets=4, window_hours=(2, 4),
+        status_path=status_path, job_id="ms", clock=clock,
+    )
+    assert st["status"] == "PAUSE"
+    assert st["next_chunk"] == 2                  # 2 chunks landed
+    assert st["next_key"] == 400                  # first unsynced key recorded
+    t = LakeTable.load(spark, root)
+    assert t.current().count() == 400             # exactly chunks 0-1
+
+    # resume inside the window: picks up at chunk 2 and finishes
+    st2 = full_sync_windowed(
+        spark, src, root, pk=["doc_id"], version_cols=["ver"],
+        n_chunks=5, n_buckets=4, window_hours=(2, 4),
+        status_path=status_path, job_id="ms", clock=FakeClock([3]),
+    )
+    assert st2["status"] == "FINISHED"
+    t = LakeTable.load(spark, root)
+    got = {r["doc_id"]: r["val"] for r in t.current().collect()}
+    assert len(got) == 1000 and got[999] == "v-999"
+
+    # replay after completion: status short-circuits, nothing re-lands
+    v = t.version
+    st3 = full_sync_windowed(
+        spark, src, root, pk=["doc_id"], version_cols=["ver"],
+        n_chunks=5, n_buckets=4, window_hours=(2, 4),
+        status_path=status_path, job_id="ms", clock=FakeClock([3]),
+    )
+    assert st3["status"] == "FINISHED"
+    assert LakeTable.load(spark, root).version == v
+
+
+def test_resume_survives_lost_status_file_via_fences(spark, tmp_path):
+    """Fences make the chunk loop idempotent even when the status sidecar
+    is lost: rerunning from chunk 0 skips already-applied chunks."""
+    from cds_spark.lake.table import LakeTable
+
+    src = spark.range(0, 300).selectExpr(
+        "id AS doc_id", "concat('x-', id) AS val", "id AS ver"
+    )
+    root = str(tmp_path / "t2")
+    status_path = str(tmp_path / "s2.json")
+    st = full_sync_windowed(
+        spark, src, root, pk=["doc_id"], version_cols=["ver"],
+        n_chunks=3, n_buckets=4, window_hours=(2, 4),
+        status_path=status_path, job_id="m2", clock=FakeClock([2, 9]),
+    )
+    assert st["status"] == "PAUSE" and st["next_chunk"] == 1
+    Path(status_path).unlink()  # "etcd wiped"
+
+    v_before = LakeTable.load(spark, root).version
+    st2 = full_sync_windowed(
+        spark, src, root, pk=["doc_id"], version_cols=["ver"],
+        n_chunks=3, n_buckets=4, window_hours=(2, 4),
+        status_path=status_path, job_id="m2", clock=FakeClock([3]),
+    )
+    assert st2["status"] == "FINISHED"
+    t = LakeTable.load(spark, root)
+    assert t.current().count() == 300
+    # chunk 0 was fenced out (no duplicate merge commit for it): the rerun
+    # added exactly 2 data commits + status writes are sidecar-only
+    data_versions = t.version - v_before
+    assert data_versions == 2
+    assert json.load(open(status_path))["status"] == "FINISHED"
+
+
+def test_non_numeric_keyset_hash_stripes(spark, tmp_path):
+    from cds_spark.lake.table import LakeTable
+
+    src = spark.range(0, 120).selectExpr(
+        "concat('doc-', id) AS doc_id", "id AS ver"
+    )
+    root = str(tmp_path / "t3")
+    st = full_sync_windowed(
+        spark, src, root, pk=["doc_id"], version_cols=["ver"],
+        n_chunks=4, n_buckets=4, status_path=str(tmp_path / "s3.json"),
+        job_id="m3", clock=FakeClock([5]),
+    )
+    assert st["status"] == "FINISHED"
+    assert LakeTable.load(spark, root).current().count() == 120

@@ -99,6 +99,26 @@ def test_live_keyset_scan_string_pk_falls_back_single_reader(spark, derby_url):
     assert got == [("alpha", 1), ("beta", 2), ("gamma", 3)]
 
 
+def test_live_generate_create_sql_dry_run(spark, derby_url, capsys):
+    """generate-create-sql against the LIVE source: introspects schema+PK
+    and emits DDL without creating anything."""
+    import json
+
+    from cds_spark.cli import main
+
+    rc = main([
+        "generate-create-sql", "--jdbc-url", derby_url,
+        "--jdbc-table", "repos", "--jdbc-driver", DRIVER, "--name", "repos",
+    ])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert rc == 0 and out["executed"] is False
+    assert [c.lower() for c in out["pk"]] == ["id"]
+    types = {c["name"].lower(): c["type"] for c in out["schema"]}
+    assert types == {"id": "long", "repo": "string",
+                     "score": "double", "updated": "timestamp"}
+    assert "CREATE TABLE repos" in out["ansi_sql"]
+
+
 def test_live_bootstrap_jdbc_full_sync(spark, derby_url, tmp_path):
     from cds_spark.lake.table import LakeTable
 

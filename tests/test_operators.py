@@ -412,6 +412,43 @@ def test_near_dup_clusters_transitive_collapse(spark):
     assert keep == [10, 30]
 
 
+def test_connected_components_long_chain_both_algorithms(spark, tmp_path):
+    """Adversarial chain graph (0-1-2-...-N): both CC variants must
+    converge within the iteration bound — minlabel thanks to pointer
+    jumping (O(log diameter)), star by construction (O(log n) rounds).
+    The star run exercises RELIABLE checkpointing (sc.setCheckpointDir)."""
+    from cds_spark.operators.textdedup import near_dup_clusters
+
+    n = 200  # diameter 200 >> max_iters 25: plain propagation would fail
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)] + [(500, 501)],
+        "doc_a long, doc_b long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(n)] + [(500,), (501,), (999,)], "doc_id long"
+    )
+    out_ml = {r.doc_id: r.cluster_id
+              for r in near_dup_clusters(nodes, pairs, algorithm="minlabel").collect()}
+    assert all(out_ml[i] == 0 for i in range(n))
+    assert out_ml[500] == out_ml[501] == 500 and out_ml[999] == 999
+
+    sc = spark.sparkContext
+    old_dir = sc.getCheckpointDir()
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        out_st = {r.doc_id: r.cluster_id
+                  for r in near_dup_clusters(nodes, pairs, algorithm="star").collect()}
+    finally:
+        if old_dir:
+            sc.setCheckpointDir(old_dir)
+        else:
+            getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+                sc._jvm.scala.Option.empty()
+            )
+    assert out_st == out_ml  # identical clustering from both variants
+
+
 def test_chunking_reconstructs_documents(spark):
     """Overlap-stripped chunk concatenation must reproduce every doc."""
     from cds_spark.operators.textstats import (

@@ -1,0 +1,84 @@
+"""${ENV} credential indirection: a jobs.json / JobSpec carrying
+placeholders resolves at run time, and the expanded secret never appears in
+anything durable or observable (lineage JSONL, status output) — the Spark
+analog of the reference's AES-encrypted etcd DSNs (etcdjob.go:62-78)."""
+
+import json
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from cds_spark.secrets import (  # noqa: E402
+    expand_env,
+    expand_spec_env,
+    redact,
+    spec_public_view,
+)
+
+
+def test_expand_env(monkeypatch):
+    monkeypatch.setenv("DB_URL", "jdbc:mysql://h/db")
+    monkeypatch.setenv("DB_PASS", "s3cret")
+    assert expand_env("${DB_URL}?password=${DB_PASS}") == \
+        "jdbc:mysql://h/db?password=s3cret"
+    assert expand_env("no placeholders") == "no placeholders"
+    with pytest.raises(KeyError, match="NOT_SET_ANYWHERE"):
+        expand_env("${NOT_SET_ANYWHERE}")
+
+
+def test_redact_masks_plaintext_credentials():
+    assert redact("jdbc:mysql://h/db?user=u&password=hunter2&x=1") == \
+        "jdbc:mysql://h/db?user=u&password=***&x=1"
+    assert redact("mongodb://admin:hunter2@h:27017/db") == \
+        "mongodb://admin:***@h:27017/db"
+    # placeholders are already the redacted form — untouched
+    assert redact("jdbc:mysql://h/db?password=${DB_PASS}") == \
+        "jdbc:mysql://h/db?password=${DB_PASS}"
+
+
+def test_spec_expansion_and_public_view(monkeypatch, tmp_path):
+    from cds_spark.streaming.pipeline import JobSpec
+
+    monkeypatch.setenv("KAFKA_BOOTSTRAP", "broker1:9092,broker2:9092")
+    spec = JobSpec(
+        job_id="j", table_root=str(tmp_path / "t"), source_dir="src",
+        checkpoint_dir="ckpt", source_format="kafka",
+        kafka_bootstrap_servers="${KAFKA_BOOTSTRAP}", kafka_topic="topic",
+    )
+    resolved = expand_spec_env(spec)
+    assert resolved.kafka_bootstrap_servers == "broker1:9092,broker2:9092"
+    assert spec.kafka_bootstrap_servers == "${KAFKA_BOOTSTRAP}"  # original untouched
+    pub = spec_public_view(spec)
+    assert pub["kafka_bootstrap_servers"] == "${KAFKA_BOOTSTRAP}"
+
+
+def test_lineage_and_status_never_see_expanded_secret(spark, tmp_path, monkeypatch):
+    """End-to-end: run a sync whose JobSpec carries a ${SECRET_DIR}
+    placeholder; the stream resolves it, but the lineage JSONL (what
+    `status` tails) records only the placeholder."""
+    from cds_spark.lake.table import LakeTable
+    from cds_spark.sources.feed import REPO_SCHEMA, change_feed, write_feed_files
+    from cds_spark.streaming.pipeline import IncrementalSync, JobSpec
+
+    secret_val = str(tmp_path / "hunter2-topic-dir")
+    monkeypatch.setenv("SECRET_DIR", secret_val)
+    feed = change_feed(spark, 200, n_repos=4, paths_per_repo=6, seed=3)
+    write_feed_files(feed, secret_val, 2)
+    root = str(tmp_path / "repos")
+    LakeTable.create(spark, root, REPO_SCHEMA, pk=["repo", "path"],
+                     version_cols=["commit", "_offset"], n_buckets=4)
+    spec = JobSpec(job_id="sec", table_root=root, source_dir="${SECRET_DIR}",
+                   checkpoint_dir=str(tmp_path / "ckpt"))
+    IncrementalSync(spark, spec).run_available()
+
+    t = LakeTable.load(spark, root)
+    assert t.current().count() > 0  # the placeholder RESOLVED and data flowed
+
+    lineage = open(root + "/_lineage/sec.jsonl").read()
+    assert "hunter2-topic-dir" not in lineage
+    assert "${SECRET_DIR}" in lineage  # spec recorded in placeholder form
+    start = json.loads(lineage.splitlines()[0])
+    assert start["job_start"] and start["spec"]["source_dir"] == "${SECRET_DIR}"

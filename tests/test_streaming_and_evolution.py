@@ -37,7 +37,8 @@ def test_streaming_kill_resume_exactly_once(spark, tmp_path):
     assert all(live[k] == v["content"] for k, v in oracle.items())
     # lineage recorded per batch with per-partition offsets
     lines = [json.loads(l) for l in open(t.root + "/_lineage/j1.jsonl")]
-    assert len(lines) >= 3 and all("partitions" in l for l in lines if not l.get("skipped"))
+    batch_lines = [l for l in lines if not l.get("skipped") and not l.get("job_start")]
+    assert len(lines) >= 3 and all("partitions" in l for l in batch_lines)
     feed.unpersist()
 
 
