@@ -663,37 +663,46 @@ class LakeTable:
             .write.partitionBy("_bucket")
             .parquet(txn_dir, mode="errorifexists")
         )
-        entries = []
+        targets = []
         for bdir in sorted(os.listdir(txn_dir)):
             if not bdir.startswith("_bucket="):
                 continue
             b = int(bdir.split("=", 1)[1])
             for fname in sorted(os.listdir(os.path.join(txn_dir, bdir))):
                 if fname.endswith(".parquet"):
-                    fpath = os.path.join(txn_dir, bdir, fname)
-                    _frows, _franges = _parquet_footer_stats(fpath, self.pk)
-                    entries.append(
-                        {
-                            "path": os.path.join(txn_rel, bdir, fname),
-                            "bucket": b,
-                            "schema_id": self.manifest["schema_id"],
-                            # provenance for per-bucket maintenance: True when
-                            # this txn applied the LWW collapse (compact /
-                            # upsert merge / collapsed append batch)
-                            "collapsed": bool(collapsed),
-                            # per-file row count (Iceberg-style stats): read
-                            # from the parquet footer, drives maintenance
-                            # planning (compact strategy choice) without a
-                            # data scan
-                            "rows": _frows,
-                            "bytes": os.path.getsize(fpath),
-                            # PK zone map (lower/upper bounds): files are
-                            # pk-sorted within partitions, so ranges are
-                            # tight; lets lookup() skip files inside the
-                            # owning bucket too
-                            "stats": _franges,
-                        }
-                    )
+                    targets.append((b, bdir, fname))
+
+        def _entry(t):
+            b, bdir, fname = t
+            fpath = os.path.join(txn_dir, bdir, fname)
+            # per-file row count + PK zone map (Iceberg-style stats) from
+            # ONE footer read: rows drive maintenance planning without a
+            # data scan; pk-sorted files make the ranges tight so lookup()
+            # skips files inside the owning bucket too
+            _frows, _franges = _parquet_footer_stats(fpath, self.pk)
+            return {
+                "path": os.path.join(txn_rel, bdir, fname),
+                "bucket": b,
+                "schema_id": self.manifest["schema_id"],
+                # provenance for per-bucket maintenance: True when this txn
+                # applied the LWW collapse (compact / upsert merge /
+                # collapsed append batch)
+                "collapsed": bool(collapsed),
+                "rows": _frows,
+                "bytes": os.path.getsize(fpath),
+                "stats": _franges,
+            }
+
+        # footer reads are I/O + C-parse (GIL-released): thread pool turns
+        # this per-commit DRIVER-SERIAL walk into parallel time — serial
+        # driver work is exactly what caps N->4N scaling efficiency
+        if len(targets) > 4:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=16) as ex:
+                entries = list(ex.map(_entry, targets))
+        else:
+            entries = [_entry(t) for t in targets]
         return entries
 
     def _build_commit_manifest(
@@ -1115,7 +1124,7 @@ class LakeTable:
         return {b for b, g in gens.items() if g > 1} | uncollapsed
 
     def _collapse_via_winners(
-        self, raw: DataFrame, threshold: int
+        self, raw: DataFrame, threshold: int, skip_count: bool = False
     ) -> tuple[DataFrame | None, DataFrame | None]:
         """LWW-collapse ``raw`` by broadcast winner filter when the winner
         set is small enough; None -> caller should use the classic
@@ -1136,15 +1145,21 @@ class LakeTable:
         bound the winner set by construction, and anything bigger falls
         back to the classic collapse."""
         light = raw.select(*self.pk, *self.version_cols)
-        winners = (
-            light.groupBy(*self.pk)
-            .agg(F.max(F.struct(*self.version_cols)).alias("__w"))
-            .persist()
+        winners = light.groupBy(*self.pk).agg(
+            F.max(F.struct(*self.version_cols)).alias("__w")
         )
-        n = winners.count()
-        if n > threshold or n * self._kv_row_width() > UPSERT_BROADCAST_BYTES:
-            winners.unpersist()
-            return None, None
+        if skip_count:
+            # caller proved the bound from manifest row stats (keys <= rows):
+            # no persist, no separate count job — the light scan runs ONCE,
+            # inside the broadcast-exchange build. Removes a whole action's
+            # scheduling + scan from every steady-state incremental compact.
+            pass
+        else:
+            winners = winners.persist()
+            n = winners.count()
+            if n > threshold or n * self._kv_row_width() > UPSERT_BROADCAST_BYTES:
+                winners.unpersist()
+                return None, None
         keyed = winners.select(
             *[F.col(c).alias(f"__k{i}") for i, c in enumerate(self.pk)], "__w"
         )
@@ -1213,7 +1228,24 @@ class LakeTable:
             # broadcast, as it always does for per-bucket incremental
             # compacts
             raw = self.read(buckets=sel, live_only=False, with_meta=True, collapse=False)
-            df, winners = self._collapse_via_winners(raw, winner_broadcast_rows)
+            # manifest row stats bound the winner count for free (keys <=
+            # rows): when the bound already fits the broadcast caps, skip
+            # the persist+count gate job entirely — the light scan then
+            # runs once, inside the broadcast build (one fewer action per
+            # steady-state compact; scheduling overhead is pure serial
+            # time, the thing that caps multi-executor scaling efficiency)
+            est_rows = sum(
+                int(f.get("rows") or 0)
+                for f in self.manifest["files"] if f["bucket"] in set(sel)
+            )
+            precounted = (
+                est_rows > 0
+                and est_rows <= winner_broadcast_rows
+                and est_rows * self._kv_row_width() <= UPSERT_BROADCAST_BYTES
+            )
+            df, winners = self._collapse_via_winners(
+                raw, winner_broadcast_rows, skip_count=precounted
+            )
             if df is None:
                 df = self.read(buckets=sel, live_only=False, with_meta=True)
         else:
