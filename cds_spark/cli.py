@@ -177,7 +177,6 @@ def cmd_sync(args) -> int:
         dlq_dir=args.dlq_dir,
         merge_mode=args.merge_mode,
         decoder=args.decoder,
-        evolve_schema=args.decoder != "arrow",
     )
     job = IncrementalSync(_spark(args), spec)
     if args.once:

@@ -516,6 +516,7 @@ def decode_feed_arrow(
     partition_col: str | None = "partition",
     offset_col: str | None = "offset",
     inject: dict[str, str] | None = None,
+    keep_cols: "Sequence[str]" = (),
 ) -> DataFrame:
     """Arrow-batched pandas decode of the F2 feed — the mapInPandas
     alternative to :func:`decode_feed` (input_hint mandates vectorized
@@ -551,6 +552,7 @@ def decode_feed_arrow(
         # and break the LWW version tiebreaker — require a real offset column
         raise ValueError("decode_feed_arrow requires offset_col (unique per event)")
     inject = dict(inject or {})
+    src_fields = {f.name: f for f in df.schema.fields}
     out_schema = T.StructType(
         [
             T.StructField("op", T.StringType()),
@@ -559,6 +561,11 @@ def decode_feed_arrow(
             T.StructField("_partition", T.LongType()),
             T.StructField("_offset", T.LongType()),
         ]
+        # keep_cols: raw source columns passed through VERBATIM (their
+        # original types) — lets the live pipeline's schema-evolution probe
+        # sample raw payloads from the Arrow decode output, exactly like
+        # decode_feed(keep_cols=...)
+        + [src_fields[c] for c in keep_cols]
     )
     op_map = dict(_OP_NORMALIZE)
     inj_keys = list(inject.items())
@@ -711,6 +718,7 @@ def decode_feed_arrow(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ops, datas, exists, parts, offs = [], [], [], [], []
+            kept = {c: [] for c in keep_cols}
             part_src = pdf[partition_col] if partition_col else None
             off_src = pdf[offset_col]
             for i in range(len(pdf)):
@@ -731,10 +739,13 @@ def decode_feed_arrow(
                 exists.append(list(data.keys()) if data is not None else None)
                 parts.append(int(p) if (part_src is None or pd.notna(p)) else None)
                 offs.append(int(o) if pd.notna(o) else None)
-            yield pd.DataFrame(
-                {"op": ops, "data": datas, "exists": exists,
-                 "_partition": parts, "_offset": offs}
-            )
+                for c in keep_cols:
+                    kept[c].append(pdf[c].iloc[i])
+            out = {"op": ops, "data": datas, "exists": exists,
+                   "_partition": parts, "_offset": offs}
+            for c in keep_cols:
+                out[c] = kept[c]
+            yield pd.DataFrame(out)
 
     return df.mapInPandas(run, out_schema)
 

@@ -52,9 +52,9 @@ class JobSpec:
     evolve_schema: bool = True
     #: batch decode stage: "jvm" (default — from_json expressions, fastest)
     #: or "arrow" (the input_hint's vectorized pandas/Arrow decode,
-    #: decode_feed_arrow — equivalence-tested against the JVM path; requires
-    #: evolve_schema=False since the Arrow form doesn't pass the raw payload
-    #: through for new-column type sampling)
+    #: decode_feed_arrow — equivalence-tested against the JVM path).
+    #: Composes with evolve_schema since round 3: the Arrow form passes the
+    #: raw payload through (keep_cols) for new-column type sampling.
     decoder: str = "jvm"
     dlq_dir: str | None = None
     lineage_dir: str | None = None
@@ -179,13 +179,6 @@ class IncrementalSync:
             raise ValueError(
                 f"unknown decoder {spec.decoder!r}: expected 'jvm' or 'arrow'"
             )
-        if spec.decoder == "arrow" and spec.evolve_schema:
-            # fail at construction, not on the first micro-batch of an
-            # already-started stream: the misconfiguration is static
-            raise ValueError(
-                "decoder='arrow' requires evolve_schema=False (the Arrow "
-                "form carries no raw payload for new-column type sampling)"
-            )
         from cds_spark.secrets import expand_spec_env, spec_public_view
 
         self.spark = spark
@@ -223,9 +216,19 @@ class IncrementalSync:
         #   needed, so nothing ever looks at the map form.
         events = None
         if self.spec.evolve_schema:
-            events = decode_feed(
-                batch, inject=self.spec.version_inject, keep_cols=("payload",)
-            ).persist()
+            # both decode shapes carry the raw payload through
+            # (keep_cols) so the evolution probe can sample types for
+            # unknown keys — arrow + evolution compose since round 3
+            if self.spec.decoder == "arrow":
+                from cds_spark.operators.decode import decode_feed_arrow
+
+                events = decode_feed_arrow(
+                    batch, inject=self.spec.version_inject, keep_cols=("payload",)
+                ).persist()
+            else:
+                events = decode_feed(
+                    batch, inject=self.spec.version_inject, keep_cols=("payload",)
+                ).persist()
         try:
             if events is not None:
                 added = discover_and_evolve(table, events)

@@ -857,14 +857,50 @@ def test_pipeline_arrow_decoder_matches_jvm(spark, tmp_path):
         t = LakeTable.load(spark, root)
         states[dec] = sorted(tuple(r) for r in t.current().collect())
     assert states["jvm"] == states["arrow"] and len(states["jvm"]) > 0
-    # arrow + evolution is a STATIC configuration error: rejected at
-    # construction, before any stream starts
-    import pytest as _pytest
-    spec = JobSpec(job_id="bad", table_root=str(tmp_path / "adec_jvm"),
-                   source_dir=topic, checkpoint_dir=str(tmp_path / "badck"),
-                   evolve_schema=True, decoder="arrow")
-    with _pytest.raises(ValueError, match="arrow"):
-        IncrementalSync(spark, spec)
+
+
+def test_arrow_decoder_with_schema_evolution(spark, tmp_path):
+    """decoder='arrow' composes with evolve_schema since round 3: the Arrow
+    decode passes the raw payload through (keep_cols) so the evolution
+    probe samples types for unknown keys; a new column discovered mid-batch
+    lands with the same values the JVM decode path produces."""
+    import json as _json
+
+    from cds_spark.operators.decode import decode_feed
+
+    base = change_feed(spark, 300, n_repos=5, paths_per_repo=10, seed=21)
+    # append a new key 'stars' (numeric) to half the payloads
+    evolved = base.withColumn(
+        "payload",
+        F.when(
+            F.col("offset") % 2 == 0,
+            F.expr(
+                "concat(substring(payload, 1, length(payload)-1), "
+                "',\"stars\":', cast(offset % 50 as string), '}')"
+            ),
+        ).otherwise(F.col("payload")),
+    )
+    states = {}
+    for dec in ("jvm", "arrow"):
+        topic = str(tmp_path / f"evo_topic_{dec}")
+        write_feed_files(evolved, topic, 2)
+        root = str(tmp_path / f"evo_{dec}")
+        LakeTable.create(
+            spark, root, REPO_SCHEMA, pk=["repo", "path"],
+            version_cols=["commit", "_offset"], n_buckets=8,
+        )
+        spec = JobSpec(job_id=f"evo-{dec}", table_root=root, source_dir=topic,
+                       checkpoint_dir=str(tmp_path / f"evo_ck_{dec}"),
+                       evolve_schema=True, decoder=dec)
+        IncrementalSync(spark, spec).run_available()
+        t = LakeTable.load(spark, root)
+        assert "stars" in [f.name for f in t.schema.fields]
+        # numeric type inferred (not stuck string), values landed
+        stars_f = [f for f in t.schema.fields if f.name == "stars"][0]
+        assert stars_f.dataType.typeName() in ("long", "double")
+        states[dec] = sorted(tuple(r) for r in t.current().collect())
+    assert states["jvm"] == states["arrow"]
+    assert any(r[-1] is not None for r in states["arrow"])  # some stars set
 
 
 def test_purge_where_removes_keys_all_generations(spark, tmp_path):
