@@ -285,7 +285,22 @@ def parse_key_spec(spec: str, pk: list[str]) -> dict:
         extra = [c for c in out if c not in pk]
         if extra:
             raise SystemExit(f"--key JSON sets non-PK column(s) {extra}; PK is {pk}")
-        out = {c: str(v) for c, v in out.items()}
+        # only strings and numbers have an unambiguous key rendering:
+        # str(None) would silently look up the literal key 'None', and
+        # arrays/objects have no canonical form here
+        bad = {
+            c: v for c, v in out.items()
+            if not isinstance(v, (str, int, float)) or isinstance(v, bool)
+        }
+        if bad:
+            raise SystemExit(
+                f"--key JSON values must be strings or numbers; got "
+                f"{ {c: type(v).__name__ for c, v in bad.items()} }"
+            )
+        out = {
+            c: (v if isinstance(v, str) else json.dumps(v))
+            for c, v in out.items()
+        }
     else:
         starts = sorted(
             m.start()

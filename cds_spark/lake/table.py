@@ -1234,12 +1234,19 @@ class LakeTable:
             # runs once, inside the broadcast build (one fewer action per
             # steady-state compact; scheduling overhead is pure serial
             # time, the thing that caps multi-executor scaling efficiency)
-            est_rows = sum(
-                int(f.get("rows") or 0)
-                for f in self.manifest["files"] if f["bucket"] in set(sel)
-            )
+            sel_files = [
+                f for f in self.manifest["files"] if f["bucket"] in set(sel)
+            ]
+            # the bound is only a bound if EVERY selected file carries a
+            # row stat — a legacy stat-less entry counted as 0 would
+            # under-bound the winner set and let skip_count build an
+            # uncapped broadcast; such entries fall back to the
+            # persist+count gate instead
+            have_all_stats = all(f.get("rows") is not None for f in sel_files)
+            est_rows = sum(int(f["rows"]) for f in sel_files) if have_all_stats else 0
             precounted = (
-                est_rows > 0
+                have_all_stats
+                and est_rows > 0
                 and est_rows <= winner_broadcast_rows
                 and est_rows * self._kv_row_width() <= UPSERT_BROADCAST_BYTES
             )

@@ -620,10 +620,6 @@ def full_sync_windowed(
     )
 
     kc = keyset_col or pk[0]
-    b = source.agg(
-        F.min(kc).alias("lo"), F.max(kc).alias("hi")
-    ).collect()[0]
-    lo, hi = b["lo"], b["hi"]
 
     schema = source.schema
     if LakeTable.exists(table_root):
@@ -656,41 +652,80 @@ def full_sync_windowed(
             return prev
     start_chunk = int(prev.get("next_chunk", 0))
 
-    if lo is None:  # empty source
-        st = {"job_id": job_id, "status": "FINISHED", "next_chunk": n_chunks}
-        _write_status(st)
-        return st
-    numeric = isinstance(lo, (int, float))
-    span = (int(hi) - int(lo) + 1) if numeric else None
+    # The chunk GRID must be frozen on the first run: if the source grows
+    # during a PAUSE window (monotonic ids — the reference's canonical
+    # scenario), recomputing min/max would shift every chunk boundary and
+    # rows falling into already-fenced chunk indexes would silently never
+    # sync. So bounds are computed once, persisted in the status sidecar,
+    # and reused verbatim on resume; growth past the frozen grid is picked
+    # up by a final tail chunk (the analog of the reference paging
+    # `key > last LIMIT n` until exhaustion, mongo2clickhouse.go:99-108).
+    import math
 
-    for i in range(start_chunk, n_chunks):
+    if "bounds" in prev:
+        bd = prev["bounds"]
+        lo, hi, numeric = bd["lo"], bd["hi"], bd["numeric"]
+        span = bd["span"]
+    else:
+        b = source.agg(
+            F.min(kc).alias("lo"), F.max(kc).alias("hi")
+        ).collect()[0]
+        lo, hi = b["lo"], b["hi"]
+        if lo is None:  # empty source
+            st = {"job_id": job_id, "status": "FINISHED", "next_chunk": n_chunks}
+            _write_status(st)
+            return st
+        numeric = isinstance(lo, (int, float))
+        if numeric:
+            # floor, not int(): int() truncates toward zero, so a negative
+            # non-integral lo (e.g. -3.5) would yield a chunk-0 lower bound
+            # ABOVE lo and permanently drop rows in [lo, int(lo))
+            lo = math.floor(lo)
+            hi = math.floor(hi)
+            span = hi - lo + 1
+        else:
+            lo, hi, span = str(lo), str(hi), None
+    bounds = {"lo": lo, "hi": hi, "numeric": numeric, "span": span}
+
+    # grid chunks 0..n_chunks-1 cover [lo, lo+span); tail chunk n_chunks
+    # catches keys >= lo+span that arrived after the grid was frozen
+    # (hash stripes need no tail: stripe membership is growth-stable)
+    total_chunks = n_chunks + 1 if numeric else n_chunks
+
+    for i in range(start_chunk, total_chunks):
         hour = clock().hour
         if not _hour_in_window(hour, *window_hours):
             if numeric:
-                next_key = int(lo) + (span * i) // n_chunks
+                next_key = lo + (span * i) // n_chunks if i < n_chunks else lo + span
             else:
                 next_key = None
             st = {
                 "job_id": job_id, "status": "PAUSE",
                 "next_chunk": i, "next_key": next_key,
                 "window_hours": list(window_hours),
+                "bounds": bounds,
             }
             _write_status(st)
             return st
-        if numeric:
-            c_lo = int(lo) + (span * i) // n_chunks
-            c_hi = int(lo) + (span * (i + 1)) // n_chunks
-            chunk = source.filter((F.col(kc) >= c_lo) & (F.col(kc) < c_hi))
-        else:
+        if not numeric:
             # non-numeric keyset: hash-stripe the key space (same resume
             # unit; ranges just aren't contiguous in key order)
             chunk = source.filter(
                 F.pmod(F.xxhash64(kc), F.lit(n_chunks)) == i
             )
+        elif i < n_chunks:
+            c_lo = lo + (span * i) // n_chunks
+            c_hi = lo + (span * (i + 1)) // n_chunks
+            chunk = source.filter((F.col(kc) >= c_lo) & (F.col(kc) < c_hi))
+        else:  # tail: growth beyond the frozen grid
+            chunk = source.filter(F.col(kc) >= lo + span)
         table.merge(chunk, fence=(f"fullsync.{job_id}", i), mode="append")
-        _write_status({"job_id": job_id, "status": "RUNNING", "next_chunk": i + 1})
+        _write_status({
+            "job_id": job_id, "status": "RUNNING",
+            "next_chunk": i + 1, "bounds": bounds,
+        })
 
-    st = {"job_id": job_id, "status": "FINISHED", "next_chunk": n_chunks}
+    st = {"job_id": job_id, "status": "FINISHED", "next_chunk": total_chunks}
     _write_status(st)
     return st
 

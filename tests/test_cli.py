@@ -156,3 +156,14 @@ def test_parse_key_spec():
     # duplicate assignment it produces, not silently mis-keyed
     with _pytest.raises(SystemExit, match="JSON"):
         parse_key_spec("repo=r,path=x,repo=evil.py,path=p", pk)
+    # ADVICE r3 (low): JSON null / arrays / objects / bools have no key
+    # rendering — a typo'd null must error, not look up the string 'None'
+    for bad in ('{"repo": null, "path": "p"}',
+                '{"repo": ["r"], "path": "p"}',
+                '{"repo": {"a": 1}, "path": "p"}',
+                '{"repo": true, "path": "p"}'):
+        with _pytest.raises(SystemExit, match="strings or numbers"):
+            parse_key_spec(bad, pk)
+    # numbers pass through in canonical decimal form
+    assert parse_key_spec('{"repo": 3, "path": "p"}', pk) == {
+        "repo": "3", "path": "p"}

@@ -107,9 +107,10 @@ def test_resume_survives_lost_status_file_via_fences(spark, tmp_path):
     t = LakeTable.load(spark, root)
     assert t.current().count() == 300
     # chunk 0 was fenced out (no duplicate merge commit for it): the rerun
-    # added exactly 2 data commits + status writes are sidecar-only
+    # added exactly 2 grid commits + the (empty, fence-only) tail-chunk
+    # commit; status writes are sidecar-only
     data_versions = t.version - v_before
-    assert data_versions == 2
+    assert data_versions == 3
     assert json.load(open(status_path))["status"] == "FINISHED"
 
 
@@ -127,3 +128,59 @@ def test_non_numeric_keyset_hash_stripes(spark, tmp_path):
     )
     assert st["status"] == "FINISHED"
     assert LakeTable.load(spark, root).current().count() == 120
+
+
+def test_resume_with_grown_source_uses_frozen_grid_and_tail(spark, tmp_path):
+    """ADVICE r3 (high): if the source grows during the PAUSE window
+    (monotonic ids), resume must NOT recompute the chunk grid — shifted
+    boundaries would leave rows in already-fenced chunk indexes unsynced
+    forever. Bounds are frozen in the status sidecar on first run; growth
+    beyond the frozen grid lands via the tail chunk."""
+    from cds_spark.lake.table import LakeTable
+
+    def mk(n):
+        return spark.range(0, n).selectExpr(
+            "id AS doc_id", "concat('g-', id) AS val", "id AS ver"
+        )
+
+    root = str(tmp_path / "tg")
+    status_path = str(tmp_path / "sg.json")
+    st = full_sync_windowed(
+        spark, mk(300), root, pk=["doc_id"], version_cols=["ver"],
+        n_chunks=3, n_buckets=4, window_hours=(2, 4),
+        status_path=status_path, job_id="mg", clock=FakeClock([2, 9]),
+    )
+    assert st["status"] == "PAUSE" and st["next_chunk"] == 1
+    assert st["bounds"]["lo"] == 0 and st["bounds"]["span"] == 300
+
+    # source grew 300 -> 500 while paused; resume must still sync rows
+    # 100..299 (they'd be skipped if the grid were recomputed over 0..499:
+    # fenced chunk 0 would then claim 0..166 unseen) AND pick up 300..499
+    st2 = full_sync_windowed(
+        spark, mk(500), root, pk=["doc_id"], version_cols=["ver"],
+        n_chunks=3, n_buckets=4, window_hours=(2, 4),
+        status_path=status_path, job_id="mg", clock=FakeClock([3]),
+    )
+    assert st2["status"] == "FINISHED"
+    t = LakeTable.load(spark, root)
+    got = {r["doc_id"] for r in t.current().collect()}
+    assert got == set(range(500))
+
+
+def test_negative_non_integral_bounds_floor_not_truncate(spark, tmp_path):
+    """ADVICE r3 (low): int() truncates toward zero, so a keyset min of
+    -3.5 would make chunk 0 start at -3 and drop keys in [-3.5, -3)."""
+    from cds_spark.lake.table import LakeTable
+
+    src = spark.createDataFrame(
+        [(-3.5, 1), (-3.2, 2), (0.0, 3), (2.9, 4)], "doc_id double, ver int"
+    )
+    root = str(tmp_path / "tf")
+    st = full_sync_windowed(
+        spark, src, root, pk=["doc_id"], version_cols=["ver"],
+        n_chunks=2, n_buckets=2, status_path=str(tmp_path / "sf.json"),
+        job_id="mf", clock=FakeClock([5]),
+    )
+    assert st["status"] == "FINISHED"
+    got = {r["doc_id"] for r in LakeTable.load(spark, root).current().collect()}
+    assert got == {-3.5, -3.2, 0.0, 2.9}

@@ -1235,3 +1235,44 @@ def test_schema_evolution_null_first_occurrence_infers_value_type(spark, tmp_pat
     t2 = LakeTable.load(spark, table.root)
     types = {f.name: f.dataType.typeName() for f in t2.schema.fields}
     assert types["stars"] == "long", types
+
+
+def test_compact_statless_file_disables_skip_count_gate(spark, tmp_path):
+    """ADVICE r3 (medium): a legacy manifest entry with no 'rows' stat must
+    disable the precounted gate (counting it as 0 rows would under-bound
+    the winner set and allow an uncapped broadcast); compact must fall back
+    to the persist+count path and still produce the right state."""
+    from cds_spark.operators.decode import decode_feed_rows
+    from cds_spark.sources.feed import REPO_SCHEMA, change_feed
+
+    feed = change_feed(spark, 1500, n_repos=6, paths_per_repo=10, seed=44)
+    root = str(tmp_path / "statless")
+    t = LakeTable.create(
+        spark, root, REPO_SCHEMA, pk=["repo", "path"],
+        version_cols=["commit", "_offset"], n_buckets=4,
+        properties={"merge_mode": "append"},
+    )
+    for i in range(2):
+        batch = feed.filter(
+            (F.col("offset") >= i * 750) & (F.col("offset") < (i + 1) * 750)
+        )
+        rows, _ = decode_feed_rows(batch, t.schema, t.pk, inject={"commit": "commit"})
+        t.merge(rows, fence=("sl", i))
+    assert t.properties.get("needs_collapse")
+    expected = sorted(tuple(r) for r in t.current().collect())
+
+    # simulate a legacy (pre-row-stats) manifest entry
+    t.manifest["files"][0].pop("rows", None)
+
+    seen = {}
+    orig = t._collapse_via_winners
+
+    def spy(raw, cap, skip_count=False):
+        seen["skip_count"] = skip_count
+        return orig(raw, cap, skip_count=skip_count)
+
+    t._collapse_via_winners = spy
+    t.compact(purge_tombstones=True)
+    assert seen.get("skip_count") is False
+    t2 = LakeTable.load(spark, root)
+    assert sorted(tuple(r) for r in t2.current().collect()) == expected
