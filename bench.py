@@ -88,6 +88,7 @@ def cdc_replay(
     compact: bool = True,
     feed_paths: list[str] | None = None,
     warmup: bool = True,
+    maintenance_every: int = 0,
 ) -> dict:
     """End-to-end replay of a materialized change log: per micro-batch, read
     the feed slice -> decode (from_json) -> typed rows -> MERGE into a fresh
@@ -144,6 +145,7 @@ def cdc_replay(
         properties={"merge_mode": mode},
     )
     batch_secs = []
+    maint_secs = []
     t0 = time.time()
     for i, p in enumerate(feed_paths):
         tb = time.time()
@@ -153,6 +155,19 @@ def cdc_replay(
         )
         table.merge(rows, fence=("bench", i))
         batch_secs.append(round(time.time() - tb, 2))
+        # in-loop maintenance (JobSpec.maintenance_every_batches analog):
+        # amortize the collapse across the run so the FINAL compact is
+        # O(last window), bounding the tail instead of paying a
+        # whole-table rewrite after the last batch
+        if (
+            maintenance_every
+            and mode == "append"
+            and (i + 1) % maintenance_every == 0
+            and (i + 1) < len(feed_paths)
+        ):
+            tm = time.time()
+            table.compact(purge_tombstones=True)
+            maint_secs.append(round(time.time() - tm, 2))
     compact_sec = 0.0
     if mode == "append" and compact:
         tc = time.time()
@@ -160,7 +175,7 @@ def cdc_replay(
         compact_sec = round(time.time() - tc, 2)
     dt = time.time() - t0
     live = table.current().count()
-    return {
+    out = {
         "mode": mode,
         "n_events": n_events,
         "n_batches": len(feed_paths),
@@ -170,6 +185,10 @@ def cdc_replay(
         "events_per_sec": round(n_events / dt),
         "live_rows": live,
     }
+    if maintenance_every:
+        out["maintenance_every"] = maintenance_every
+        out["maint_secs"] = maint_secs
+    return out
 
 
 def main() -> None:
@@ -233,6 +252,23 @@ def main() -> None:
     timings["cdc_replay_upsert"] = replay_upsert["sec"]
 
     total = round(sum(timings.values()), 3)
+    # host-window self-description: the sandbox VM's 8->32-core compute
+    # delivery swings 1.6x-3.8x across the day (BENCH_PROBELOG_r3.jsonl),
+    # which uniformly scales every number above; stamping the probe into
+    # the artifact lets a reader normalize across rounds instead of
+    # mistaking a degraded host window for an engine regression.
+    probe = None
+    try:
+        import subprocess
+
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                          "tools", "host_probe.py")],
+            capture_output=True, text=True, timeout=120,
+        )
+        probe = json.loads(out.stdout.strip().splitlines()[-1])
+    except Exception:
+        pass
     print(
         json.dumps(
             {
@@ -244,6 +280,8 @@ def main() -> None:
                 "cpus": CPUS,
                 "cdc_replay": replay,
                 "cdc_replay_upsert": replay_upsert,
+                "host_probe": probe,
+                "probe_speedup": (probe or {}).get("speedup"),
             }
         )
     )

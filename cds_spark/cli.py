@@ -246,6 +246,15 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_rebucket(args) -> int:
+    from cds_spark.lake.table import LakeTable
+
+    table = LakeTable.load(_spark(args), args.root)
+    out = table.rebucket(args.n_buckets, group=args.group)
+    print(json.dumps({"root": table.root, **out}))
+    return 0
+
+
 def cmd_expire(args) -> int:
     from cds_spark.lake.table import LakeTable
 
@@ -520,6 +529,16 @@ def build_parser() -> argparse.ArgumentParser:
                     help="comma-separated explicit bucket subset to rewrite "
                          "(for sharding maintenance across parallel jobs)")
     sp.set_defaults(fn=cmd_compact)
+
+    sp = sub.add_parser(
+        "rebucket",
+        help="online bucket-modulus change (sequence of CAS commits; "
+             "readers + concurrent ingest stay consistent)")
+    common(sp)
+    sp.add_argument("--n-buckets", type=int, required=True)
+    sp.add_argument("--group", type=int, default=8,
+                    help="old buckets rewritten per commit")
+    sp.set_defaults(fn=cmd_rebucket)
 
     sp = sub.add_parser(
         "expire", help="drop old snapshots + delete unreferenced data files "

@@ -134,6 +134,20 @@ def _est_row_width(fields: Sequence[T.StructField]) -> int:
             w += 24
     return w
 
+def _bucket_overlap(entry_bucket: int, entry_mod: int, want: set, want_mod: int) -> bool:
+    """Can a file bucketed under ``entry_mod`` hold a key whose bucket
+    under ``want_mod`` is in ``want``? Exact when one modulus divides the
+    other (hash%N determines hash%M for M|N); conservatively True for
+    unrelated moduli — correctness must never skip a candidate file."""
+    if entry_mod == want_mod:
+        return entry_bucket in want
+    if want_mod % entry_mod == 0:
+        return any(b % entry_mod == entry_bucket for b in want)
+    if entry_mod % want_mod == 0:
+        return entry_bucket % want_mod in want
+    return True
+
+
 class CommitConflict(RuntimeError):
     """Another writer committed the version this writer tried to claim."""
 
@@ -389,6 +403,23 @@ class LakeTable:
     def _bucket_expr(self):
         return F.pmod(F.xxhash64(*[F.col(c) for c in self.pk]), F.lit(self.n_buckets))
 
+    # ------------------------------------------------- bucket matching
+    # During an online rebucket (see rebucket()) the manifest holds files
+    # bucketed under TWO moduli: each entry records the modulus it was
+    # written under ("mod"; absent = the table's modulus at write time,
+    # which can only be the current one for pre-rebucket tables). Every
+    # bucket-selection — reads, lookups, compact/mutation input sets —
+    # goes through ONE overlap rule so a read and the consumption set it
+    # pairs with can never disagree about which files a bucket covers.
+    def _file_mod(self, f: dict) -> int:
+        return int(f.get("mod", self.n_buckets))
+
+    def _bucket_match(self, f: dict, want: set, want_mod: int | None = None) -> bool:
+        return _bucket_overlap(
+            int(f["bucket"]), self._file_mod(f), want,
+            self.n_buckets if want_mod is None else want_mod,
+        )
+
     def _read_entries(self, files: Sequence[dict], phys_cur: T.StructType) -> DataFrame:
         """Union-read manifest file entries aligned to ``phys_cur``: widened
         columns cast, missing columns NULL-filled — one ``spark.read`` per
@@ -439,7 +470,7 @@ class LakeTable:
         files = self.manifest["files"]
         if buckets is not None:
             want = set(int(b) for b in buckets)
-            files = [f for f in files if f["bucket"] in want]
+            files = [f for f in files if self._bucket_match(f, want)]
         if file_pred is not None:
             files = [f for f in files if file_pred(f)]
         phys_cur = _physical(self.schema)
@@ -598,7 +629,19 @@ class LakeTable:
             delta = self._read_entries(added, phys)
             if op == "merge":
                 touched = {f["bucket"] for f in added}
-                replaced = [f for f in prev_files if f["bucket"] in touched]
+                # the merge's files were bucketed under the WRITER's modulus
+                # (recorded per entry; legacy entries = that manifest's
+                # n_buckets) — compare prev files under the same overlap
+                # rule the merge itself consumed with
+                t_mod = int(added[0].get("mod", m["n_buckets"]))
+                replaced = [
+                    f for f in prev_files
+                    if _bucket_overlap(
+                        int(f["bucket"]),
+                        int(f.get("mod", prev_m["n_buckets"])),
+                        touched, t_mod,
+                    )
+                ]
                 if replaced:
                     old = self._read_entries(replaced, phys)
                     if prev_m.get("properties", {}).get("needs_collapse"):
@@ -683,6 +726,7 @@ class LakeTable:
             return {
                 "path": os.path.join(txn_rel, bdir, fname),
                 "bucket": b,
+                "mod": self.n_buckets,
                 "schema_id": self.manifest["schema_id"],
                 # provenance for per-bucket maintenance: True when this txn
                 # applied the LWW collapse (compact / upsert merge /
@@ -948,7 +992,7 @@ class LakeTable:
             consumed = {
                 f["path"]
                 for f in self.manifest["files"]
-                if f["bucket"] in set(touched)
+                if self._bucket_match(f, set(touched))
             }
             entries = self._write_txn(merged, self._txn_name(), n_parts, collapsed=True)
             props = dict(extra_properties or {})
@@ -1071,13 +1115,36 @@ class LakeTable:
         means the table upholds what lookup/changes/compact assume."""
         df = self.read(
             buckets=buckets, live_only=False, with_meta=True, collapse=False
-        ).withColumn("_b2", self._bucket_expr())
+        )
         sel = set(int(b) for b in buckets) if buckets is not None else None
         files = [
             f for f in self.manifest["files"]
-            if sel is None or f["bucket"] in sel
+            if sel is None or self._bucket_match(f, sel)
         ]
+        # placement is judged under the modulus each file was WRITTEN with
+        # (mid-rebucket a manifest legitimately holds two moduli); a
+        # CASE over the file path maps every row to its own modulus
+        mods = sorted({self._file_mod(f) for f in self.manifest["files"]}) or [
+            self.n_buckets
+        ]
+        mod_expr = F.lit(self.n_buckets)
+        if len(mods) > 1:
+            for other in mods:
+                if other == self.n_buckets:
+                    continue
+                legacy_txns = sorted({
+                    f["path"].split(os.sep)[1]
+                    for f in self.manifest["files"]
+                    if self._file_mod(f) == other
+                })
+                cond = F.lit(False)
+                for txn in legacy_txns:
+                    cond = cond | F.input_file_name().contains(txn)
+                mod_expr = F.when(cond, F.lit(other)).otherwise(mod_expr)
         by_file_bucket = df.withColumn(
+            "_b2",
+            F.pmod(F.xxhash64(*[F.col(c) for c in self.pk]), mod_expr),
+        ).withColumn(
             "_file", F.element_at(F.split(F.input_file_name(), "_bucket="), -1)
         ).withColumn("_fb", F.split(F.col("_file"), "/").getItem(0).cast("int"))
         misplaced = by_file_bucket.filter(F.col("_fb") != F.col("_b2")).count()
@@ -1176,12 +1243,203 @@ class LakeTable:
         # winners handle — compact() does so synchronously.
         return lww_collapse(filtered, self.pk, self.version_cols), winners
 
+    # types the Arrow-local compaction handles losslessly (read + winner
+    # select + write without ever widening/narrowing a column)
+    _LOCAL_COMPACT_TYPES = {
+        "string", "boolean", "byte", "short", "integer", "long",
+        "float", "double", "date", "timestamp", "binary",
+    }
+
+    def _compact_local_entries(
+        self,
+        sel: Sequence[int],
+        purge_tombstones: bool,
+        target_file_bytes: int,
+    ) -> list[dict] | None:
+        """Shuffle-free, broadcast-free per-bucket compaction. Returns the
+        new manifest entries, or None when not applicable (mixed schema
+        generations / mixed bucket moduli / exotic column types) so the
+        caller falls back to the collapse-plan paths.
+
+        The table layout already guarantees that ALL generations of a key
+        live inside one bucket's files — so collapsing a bucket needs no
+        data movement at all: one task per bucket reads that bucket's
+        parquet files (pyarrow), picks the max-version row per key, drops
+        tombstones, sorts by PK and writes the replacement file(s) directly.
+        Zero shuffle, zero driver-side broadcast build — the two costs that
+        cap N->4N scaling in the plan-based paths (a winner broadcast is
+        driver-serial; a wide-row shuffle is memory-bandwidth-bound). This
+        is how lakehouse compaction services rewrite partitions: an
+        embarrassingly parallel per-partition job, wall-clock = slowest
+        single bucket, scaling linearly with executors at any table size.
+
+        Ordering fidelity: the winner rule must equal lww_collapse's
+        ``max(struct(version_cols))``. Arrow's multi-key ascending sort
+        with nulls first is the same lexicographic order (UTF-8 byte order
+        equals code-point order, so string comparison agrees), and taking
+        the LAST row per key after that sort is the struct max. Only the PK
+        columns round-trip through pandas (for the duplicated() mask) —
+        data columns stay in Arrow end-to-end, so integer columns with
+        NULLs can never degrade to float64."""
+        sid = str(self.manifest["schema_id"])
+        files = [
+            f for f in self.manifest["files"]
+            if self._bucket_match(f, set(sel))
+        ]
+        if not files:
+            return []
+        if any(str(f["schema_id"]) != sid for f in files):
+            return None
+        if any(self._file_mod(f) != self.n_buckets for f in files):
+            return None
+        phys = _physical(self.schema)
+        if any(
+            f.dataType.typeName() not in self._LOCAL_COMPACT_TYPES
+            for f in phys.fields
+        ):
+            return None
+
+        by_b: dict[int, list[dict]] = {}
+        for f in files:
+            by_b.setdefault(int(f["bucket"]), []).append(f)
+        # OOM guard: one task holds one bucket's generations in memory; a
+        # bucket past this bound (an under-bucketed table) must take the
+        # spill-capable plan-based collapse instead — or better, rebucket()
+        cap = int(self.properties.get(
+            "local_compact_max_bucket_bytes", 4 << 30
+        ))
+        for ents in by_b.values():
+            if sum(int(e.get("bytes") or 0) for e in ents) > cap:
+                return None
+        txn_rel = os.path.join(DATA_DIR, self._txn_name("-compact"))
+        txn_dir = os.path.join(self.root, txn_rel)
+        os.makedirs(txn_dir, exist_ok=False)
+        root = self.root
+        pk, vcols = list(self.pk), list(self.version_cols)
+        schema_names = [f.name for f in phys.fields]
+        n_buckets = self.n_buckets
+        sid_i = self.manifest["schema_id"]
+        tasks = [
+            (
+                int(b),
+                json.dumps([e["path"] for e in ents]),
+                int(sum(int(e.get("bytes") or 0) for e in ents)),
+            )
+            for b, ents in sorted(by_b.items())
+        ]
+
+        def run(batches):
+            import json as _json
+            import os as _os
+            import uuid as _uuid
+
+            import pandas as _pd
+            import pyarrow as _pa
+            import pyarrow.compute as _pc
+            import pyarrow.parquet as _pq
+
+            # each task is one core's worth of work: N concurrent Python
+            # workers each spinning Arrow's default (ncpu-wide) pool would
+            # oversubscribe the box N-fold (measured 2.5x task slowdown)
+            try:
+                _pa.set_cpu_count(1)
+                _pa.set_io_thread_count(1)
+            except Exception:
+                pass
+            for pdf_in in batches:
+                out = []
+                for b, paths_j, in_bytes in zip(
+                    pdf_in["bucket"], pdf_in["paths"], pdf_in["in_bytes"]
+                ):
+                    paths = [_os.path.join(root, p) for p in _json.loads(paths_j)]
+                    # 32 concurrent python workers each spinning up Arrow's
+                    # default (ncpu-wide) thread pool oversubscribes the
+                    # box 32x — each task is already one core's worth
+                    parts = [_pq.read_table(p, use_threads=False) for p in paths]
+                    tbl = parts[0] if len(parts) == 1 else _pa.concat_tables(parts)
+                    tbl = tbl.select(schema_names)
+                    # winner selection runs on a LIGHT (pk + version)
+                    # projection; the WIDE columns (content-heavy) move
+                    # exactly once, in the final winners-only take —
+                    # reordering the full wide table would cost ~the
+                    # generation factor more memory traffic
+                    light = tbl.select(list(dict.fromkeys(pk + vcols)))
+                    # struct-max winner per key: ascending multi-key sort
+                    # (nulls first), keep the LAST row per pk
+                    idx = _pc.sort_indices(
+                        light,
+                        sort_keys=[(c, "ascending") for c in vcols],
+                        null_placement="at_start",
+                    )
+                    sorted_light = light.take(idx)
+                    kdf = _pd.DataFrame(
+                        {c: sorted_light.column(c).to_pandas() for c in pk}
+                    )
+                    keep = (~kdf.duplicated(subset=pk, keep="last")).values
+                    win_idx = idx.filter(_pa.array(keep))
+                    tbl = tbl.take(win_idx)
+                    if purge_tombstones:
+                        dead = _pc.fill_null(tbl.column(IS_DELETE), False)
+                        tbl = tbl.filter(_pc.invert(dead))
+                    if tbl.num_rows == 0:
+                        continue
+                    tbl = tbl.take(
+                        _pc.sort_indices(
+                            tbl, sort_keys=[(c, "ascending") for c in pk],
+                            null_placement="at_start",
+                        )
+                    )
+                    bdir = _os.path.join(txn_dir, f"_bucket={int(b)}")
+                    _os.makedirs(bdir, exist_ok=True)
+                    n_chunks = max(
+                        1, (int(in_bytes) + target_file_bytes - 1)
+                        // target_file_bytes,
+                    )
+                    step = (tbl.num_rows + n_chunks - 1) // n_chunks
+                    for ci in range(0, tbl.num_rows, step):
+                        chunk = tbl.slice(ci, step)
+                        fname = f"part-{int(b):05d}-{_uuid.uuid4().hex[:12]}.parquet"
+                        fpath = _os.path.join(bdir, fname)
+                        _pq.write_table(chunk, fpath, compression="snappy")
+                        stats = {}
+                        for c in pk:
+                            mm = _pc.min_max(chunk.column(c)).as_py()
+                            lo, hi = mm["min"], mm["max"]
+                            if isinstance(lo, (str, int, float)) and isinstance(
+                                hi, (str, int, float)
+                            ):
+                                stats[c] = [lo, hi]
+                        out.append({
+                            "path": _os.path.join(
+                                txn_rel, f"_bucket={int(b)}", fname
+                            ),
+                            "bucket": int(b),
+                            "mod": n_buckets,
+                            "schema_id": sid_i,
+                            "collapsed": True,
+                            "rows": int(chunk.num_rows),
+                            "bytes": int(_os.path.getsize(fpath)),
+                            "stats": stats,
+                        })
+                yield _pd.DataFrame(
+                    {"entry": [_json.dumps(e) for e in out]}
+                )
+
+        tdf = self.spark.createDataFrame(
+            tasks, "bucket int, paths string, in_bytes long"
+        )
+        # round-robin to one task per partition: hashing bucket ids into
+        # len(tasks) partitions would leave ~1/e of them empty
+        result = tdf.repartition(len(tasks)).mapInPandas(run, "entry string")
+        return [json.loads(r["entry"]) for r in result.collect()]
+
     def compact(
         self,
         buckets: Sequence[int] | None = None,
         max_generations: int | None = None,
         purge_tombstones: bool = False,
         winner_broadcast_rows: int = 4_000_000,
+        strategy: str = "auto",
     ) -> list[int]:
         """Rewrite buckets to one generation each (the ClickHouse background
         part-merge analog — but INCREMENTAL, never a forced whole-table job):
@@ -1196,7 +1454,22 @@ class LakeTable:
 
         ``purge_tombstones`` physically drops deleted rows in the rewritten
         buckets (safe once the feed can no longer replay versions older
-        than the tombstone). Returns the buckets rewritten."""
+        than the tombstone). Returns the buckets rewritten.
+
+        ``strategy`` picks the physical plan:
+
+        - ``"auto"`` (default): the shuffle-free per-bucket Arrow rewrite
+          (:meth:`_compact_local_entries`) whenever applicable — it has no
+          wide shuffle and no driver-serial broadcast build, so it scales
+          linearly with executors; falls back to the plan-based paths for
+          mixed schema generations / mixed bucket moduli / exotic types;
+        - ``"local"``: force the per-bucket rewrite (error if inapplicable);
+        - ``"winners"``: the broadcast-winner-filter collapse (column-pruned
+          light scan + broadcast filter, no wide shuffle — but the broadcast
+          build is driver-serial);
+        - ``"classic"``: the single full-shuffle LWW collapse."""
+        if strategy == "classic":
+            winner_broadcast_rows = 0
         gens = self.bucket_generations()
         uncollapsed = {
             int(f["bucket"]) for f in self.manifest["files"] if not f.get("collapsed")
@@ -1216,8 +1489,25 @@ class LakeTable:
         # must drop these (and ONLY these) from whatever manifest is
         # current at commit time
         input_paths = {
-            f["path"] for f in self.manifest["files"] if f["bucket"] in set(sel)
+            f["path"] for f in self.manifest["files"]
+            if self._bucket_match(f, set(sel))
         }
+        if strategy in ("auto", "local"):
+            target_b = int(self.properties.get("target_file_bytes", 128 << 20))
+            entries = self._compact_local_entries(sel, purge_tombstones, target_b)
+            if entries is not None:
+                self._commit_with_rebase(
+                    {"operation": "compact", "purged": purge_tombstones,
+                     "buckets": len(sel), "strategy": "local"},
+                    input_paths, entries, {},
+                )
+                return sel
+            if strategy == "local":
+                raise ValueError(
+                    "local compaction not applicable (mixed schema "
+                    "generations, mixed bucket moduli, or unsupported "
+                    "column types) — use strategy='auto'"
+                )
         winners = None
         if self.properties.get("needs_collapse") and winner_broadcast_rows:
             # collapse strategy choice: the classic path shuffles every
@@ -1235,7 +1525,8 @@ class LakeTable:
             # steady-state compact; scheduling overhead is pure serial
             # time, the thing that caps multi-executor scaling efficiency)
             sel_files = [
-                f for f in self.manifest["files"] if f["bucket"] in set(sel)
+                f for f in self.manifest["files"]
+                if self._bucket_match(f, set(sel))
             ]
             # the bound is only a bound if EVERY selected file carries a
             # row stat — a legacy stat-less entry counted as 0 would
@@ -1275,7 +1566,8 @@ class LakeTable:
                 return 0
 
         est_bytes = sum(
-            _fsize(f) for f in self.manifest["files"] if f["bucket"] in sel_set_est
+            _fsize(f) for f in self.manifest["files"]
+            if self._bucket_match(f, sel_set_est)
         )
         target = int(self.properties.get("target_file_bytes", 128 << 20))
         size_parts = (est_bytes + target - 1) // target if est_bytes else 1
@@ -1297,6 +1589,97 @@ class LakeTable:
             input_paths, entries, {},
         )
         return sel
+
+    def rebucket(self, new_n_buckets: int, group: int = 8) -> dict:
+        """ONLINE re-bucketing: change the table's bucket modulus without a
+        stop-the-world rewrite — the operation a sharded ClickHouse cluster
+        cannot do (resharding `pkg/ckgroup/ckgroup.go:12-47` means manual
+        copy + cutover); here it is a sequence of ordinary CAS snapshot
+        commits, readers and concurrent ingest stay consistent throughout.
+
+        Why it must exist: ``n_buckets`` is frozen at create, and at 100 TB
+        an under-bucketed table (10 GB+ per bucket) caps compaction
+        parallelism, lookup pruning, and the local-compact memory bound.
+
+        Protocol:
+
+        1. ``rebucket-begin`` commit: stamp every current file with the
+           modulus it was written under (``mod``) and flip the table's
+           ``n_buckets``. From this snapshot on, EVERY bucket selection
+           resolves through :func:`_bucket_overlap`, so reads, lookups and
+           compact/mutation input sets stay exact when one modulus divides
+           the other and conservative otherwise. Concurrent writers that
+           loaded the pre-flip manifest keep writing old-modulus files —
+           harmless, their entries carry their own ``mod``.
+        2. Rewrite loop: ``group`` old buckets at a time, read exactly
+           those files and re-shard them under the new modulus via the
+           standard txn write + rebase commit (LWW-idempotent, so racing
+           ingest/compact commits interleave safely).
+        3. Done when no differently-bucketed file remains.
+
+        Resumable by construction: re-running after a crash just continues
+        with whatever legacy files are left. Returns a summary dict."""
+        new_n = int(new_n_buckets)
+        if new_n <= 0:
+            raise ValueError("n_buckets must be positive")
+        if new_n == self.n_buckets:
+            return {"rewritten_files": 0, "commits": 0,
+                    "n_buckets": self.n_buckets, "version": self.version}
+
+        # phase 1: flip the modulus (skip if a prior attempt already did)
+        commits = 0
+        for _ in range(6):
+            if self.n_buckets == new_n:
+                break
+            m = self._next_manifest({
+                "operation": "rebucket-begin",
+                "from_buckets": self.n_buckets, "to_buckets": new_n,
+            })
+            old_n = self.n_buckets
+            for f in m["files"]:
+                f.setdefault("mod", old_n)
+            m["n_buckets"] = new_n
+            try:
+                self._commit(m)
+                commits += 1
+                break
+            except CommitConflict:
+                self._reload_latest()
+        if self.n_buckets != new_n:
+            raise RuntimeError("rebucket: lost the begin-commit CAS race repeatedly")
+
+        # phase 2: rewrite legacy files group-by-group
+        rewritten = 0
+        phys = _physical(self.schema)
+        while True:
+            self._reload_latest()
+            legacy = [
+                f for f in self.manifest["files"]
+                if self._file_mod(f) != new_n
+            ]
+            if not legacy:
+                break
+            by_old: dict[tuple, list[dict]] = {}
+            for f in legacy:
+                by_old.setdefault((self._file_mod(f), int(f["bucket"])), []).append(f)
+            batch_keys = sorted(by_old)[:group]
+            batch = [f for k in batch_keys for f in by_old[k]]
+            df = self._read_entries(batch, phys).withColumn(
+                "_bucket", self._bucket_expr()
+            )
+            n_parts = max(1, min(len(batch_keys) * 4, self._n_write_parts()))
+            entries = self._write_txn(
+                df, self._txn_name("-rebucket"), n_parts,
+                collapsed=False,
+            )
+            self._commit_with_rebase(
+                {"operation": "rebucket", "old_buckets": len(batch_keys)},
+                {f["path"] for f in batch}, entries, {},
+            )
+            commits += 1
+            rewritten += len(batch)
+        return {"rewritten_files": rewritten, "commits": commits,
+                "n_buckets": new_n, "version": self.version}
 
     def purge_where(self, condition) -> dict:
         """Physically remove every key whose CURRENT live row matches
@@ -1355,7 +1738,7 @@ class LakeTable:
                         "version": self.version}
             consumed = {
                 f["path"] for f in self.manifest["files"]
-                if f["bucket"] in set(buckets)
+                if self._bucket_match(f, set(buckets))
             }
             kdf = keys.drop("_bucket")
             if n_keys <= UPSERT_BROADCAST_ROWS:
@@ -1426,7 +1809,7 @@ class LakeTable:
                     "version": self.version}
         consumed = {
             f["path"] for f in self.manifest["files"]
-            if f["bucket"] in set(buckets)
+            if self._bucket_match(f, set(buckets))
         }
         cur = self.read(buckets=buckets, live_only=False, with_meta=True)
         types = {f.name: f.dataType for f in self.schema.fields}

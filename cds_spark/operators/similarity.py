@@ -265,6 +265,58 @@ def lsh_bucketed_topk(
     )
 
 
+def lsh_bucketed_topk_multiprobe(
+    emb: DataFrame,
+    dim: int = 64,
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    probes: int = LSH_BITS,
+) -> DataFrame:
+    """Multi-probe ANN: each query searches its own hyperplane-sign bucket
+    PLUS the ``probes`` buckets at Hamming distance 1 (one sign bit
+    flipped). The standard recall lever for LSH (Lv et al., VLDB'07
+    multi-probe LSH): a near neighbor that lands just across one
+    hyperplane is recovered without adding hash tables. probes=LSH_BITS
+    covers the full Hamming-1 ball; candidate volume grows ~(probes+1)x
+    while staying bucket-bounded — still no cartesian, still broadcast
+    query side.
+
+    At 100 TB: identical plan shape to lsh_bucketed_topk — the probe
+    expansion multiplies only the (tiny, broadcast) query side; the
+    corpus side is scanned once and equi-joined on the bucket id."""
+    with_bucket = _spread(emb).withColumn(
+        "bucket", _bucket_expr(F.col("embedding"), dim)
+    )
+    q = with_bucket.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "bucket"
+    )
+    probe_buckets = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(2**j)) for j in range(probes)],
+    )
+    q_probe = q.withColumn("bucket", F.explode(probe_buckets))
+    c = with_bucket.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"), "bucket"
+    )
+    scored = (
+        F.broadcast(q_probe)
+        .join(c, ["bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        # a neighbor can surface via several probes; qv/nv are functionally
+        # dependent on the ids so the kept row is value-identical
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cos_sim", F.round(cosine("qv", "nv"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def _bucket_sql(vec_expr: str, dim: int) -> str:
     hps = hyperplanes(dim)
     terms = []
@@ -274,6 +326,32 @@ def _bucket_sql(vec_expr: str, dim: int) -> str:
             f"(CASE WHEN list_dot_product({vec_expr}::DOUBLE[], {arr}) > 0 THEN {2**j} ELSE 0 END)"
         )
     return "(" + " + ".join(terms) + ")"
+
+
+def lsh_bucketed_topk_multiprobe_sql(dim: int = 64, probes: int = LSH_BITS) -> str:
+    b = _bucket_sql("embedding", dim)
+    return f"""
+WITH e AS (SELECT vec_id, embedding, {b} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, bucket FROM e WHERE vec_id < {N_QUERIES}),
+qp AS (SELECT query_id, qv,
+              CASE WHEN t.range = 0 THEN bucket
+                   ELSE xor(bucket, 1 << (t.range - 1)) END AS bucket
+       FROM q, range(0, {probes + 1}) t),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS nv, bucket FROM e),
+cand AS (SELECT DISTINCT query_id, neighbor_id
+         FROM qp JOIN c USING (bucket) WHERE query_id <> neighbor_id),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         round(list_cosine_similarity(q.qv, c2.nv), 6) AS cos_sim
+  FROM cand
+  JOIN q ON q.query_id = cand.query_id
+  JOIN (SELECT DISTINCT neighbor_id, nv FROM c) c2 ON c2.neighbor_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
 
 
 def lsh_bucketed_topk_sql(dim: int = 64) -> str:

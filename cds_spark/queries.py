@@ -856,6 +856,12 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(load(spark, sf_dir, "embeddings"))
 
 
+def q_ann_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cds_spark.operators.similarity import lsh_bucketed_topk_multiprobe
+
+    return lsh_bucketed_topk_multiprobe(load(spark, sf_dir, "embeddings"))
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cds_spark.operators.similarity import near_dup_pairs
 
@@ -1124,6 +1130,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_lsh": q_embedding_near_dup_lsh,
     "ann_cosine_topk": q_ann_topk,
     "ann_cosine_topk_lsh": q_ann_topk_lsh,
+    "ann_cosine_topk_lsh_multiprobe": q_ann_topk_lsh_multiprobe,
     "text_quality_scores": q_text_quality,
     "text_lang_id": q_lang_id,
     "text_token_counts": q_token_counts,
@@ -1173,6 +1180,7 @@ def _training_oracles() -> dict[str, str]:
         "dedup_embedding_lsh": similarity.lsh_near_dup_pairs_sql(),
         "ann_cosine_topk": similarity.BRUTE_TOPK_SQL,
         "ann_cosine_topk_lsh": similarity.lsh_bucketed_topk_sql(),
+        "ann_cosine_topk_lsh_multiprobe": similarity.lsh_bucketed_topk_multiprobe_sql(),
         "text_quality_scores": textstats.QUALITY_SQL,
         "text_lang_id": textstats.LANG_ID_SQL,
         "text_token_counts": textstats.TOKEN_COUNT_SQL,

@@ -450,9 +450,11 @@ def test_compact_winners_strategy_matches_classic(spark, tmp_path):
     feed = change_feed(spark, 3000, n_repos=10, paths_per_repo=15, seed=31)
     states = {}
     for label, kw in (
-        ("classic", dict(winner_broadcast_rows=0)),
-        ("winners", dict()),
-        ("fallback", dict(winner_broadcast_rows=1)),
+        ("classic", dict(strategy="classic")),
+        ("winners", dict(strategy="winners")),
+        ("fallback", dict(strategy="winners", winner_broadcast_rows=1)),
+        ("local", dict(strategy="local")),
+        ("auto", dict()),
     ):
         root = str(tmp_path / f"ct_{label}")
         t = LakeTable.create(
@@ -470,7 +472,10 @@ def test_compact_winners_strategy_matches_classic(spark, tmp_path):
         assert not t2.properties.get("needs_collapse")
         states[label] = sorted(tuple(r) for r in t2.current().collect())
         assert t2.read(live_only=False).count() == len(states[label])  # purged
-    assert states["classic"] == states["winners"] == states["fallback"]
+    assert (
+        states["classic"] == states["winners"] == states["fallback"]
+        == states["local"] == states["auto"]
+    )
 
 
 def test_manifest_records_file_rows(spark, tmp_path):
@@ -1272,7 +1277,7 @@ def test_compact_statless_file_disables_skip_count_gate(spark, tmp_path):
         return orig(raw, cap, skip_count=skip_count)
 
     t._collapse_via_winners = spy
-    t.compact(purge_tombstones=True)
+    t.compact(purge_tombstones=True, strategy="winners")
     assert seen.get("skip_count") is False
     t2 = LakeTable.load(spark, root)
     assert sorted(tuple(r) for r in t2.current().collect()) == expected
