@@ -134,6 +134,121 @@ def _est_row_width(fields: Sequence[T.StructField]) -> int:
             w += 24
     return w
 
+def _arrow_pin_single_thread() -> None:
+    """Per-task Arrow thread pinning: N concurrent Python workers each
+    spinning Arrow's default (ncpu-wide) pool oversubscribe the box N-fold
+    (measured 2.5x task slowdown)."""
+    import pyarrow as _pa
+
+    try:
+        _pa.set_cpu_count(1)
+        _pa.set_io_thread_count(1)
+    except Exception:
+        pass
+
+
+def _arrow_lww_collapse(tbl, pk: list, vcols: list, drop_tombstones: bool):
+    """In-task struct-max winner per key over an Arrow table — the exact
+    semantics of ``lww_collapse``'s ``max(struct(version_cols))``:
+    ascending multi-key sort with nulls first (UTF-8 byte order equals
+    code-point order, so string comparison agrees with the JVM), keep the
+    LAST row per pk. Winner selection runs on a LIGHT (pk + version)
+    projection; the wide columns move exactly once, in the winners-only
+    take. Returns the collapsed table sorted by pk."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    light = tbl.select(list(dict.fromkeys(pk + vcols)))
+    idx = _pc.sort_indices(
+        light,
+        sort_keys=[(c, "ascending") for c in vcols],
+        null_placement="at_start",
+    )
+    # argmax-by-version per key entirely in Arrow C++: in version-sorted
+    # order the winner is each key's LAST row, i.e. max row position —
+    # a hash group_by over the pk columns (no pandas, no Python string
+    # objects; the earlier duplicated()-mask variant burned CPU
+    # materializing 2x|rows| PyObjects per task)
+    import numpy as _np
+
+    sorted_keys = light.select(pk).take(idx)
+    pos = sorted_keys.append_column(
+        "__i", _pa.array(_np.arange(sorted_keys.num_rows, dtype="int64"))
+    )
+    win_pos = pos.group_by(pk).aggregate([("__i", "max")])["__i_max"]
+    tbl = tbl.take(_pc.take(idx, win_pos))
+    if drop_tombstones:
+        dead = _pc.fill_null(tbl.column(IS_DELETE), False)
+        tbl = tbl.filter(_pc.invert(dead))
+    if tbl.num_rows:
+        tbl = tbl.take(
+            _pc.sort_indices(
+                tbl, sort_keys=[(c, "ascending") for c in pk],
+                null_placement="at_start",
+            )
+        )
+    return tbl
+
+
+def _arrow_write_bucket(
+    tbl, txn_dir: str, txn_rel: str, b: int, n_chunks: int,
+    pk: list, sid: int, mod: int,
+) -> list[dict]:
+    """Write a collapsed bucket table as 1..n_chunks parquet files under
+    the txn dir, returning manifest entries with row counts + PK zone maps
+    computed in-task (no extra footer pass)."""
+    import os as _os
+    import uuid as _uuid
+
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    out = []
+    if tbl.num_rows == 0:
+        return out
+    bdir = _os.path.join(txn_dir, f"_bucket={int(b)}")
+    _os.makedirs(bdir, exist_ok=True)
+    step = (tbl.num_rows + n_chunks - 1) // n_chunks
+    for ci in range(0, tbl.num_rows, step):
+        chunk = tbl.slice(ci, step)
+        fname = f"part-{int(b):05d}-{_uuid.uuid4().hex[:12]}.parquet"
+        fpath = _os.path.join(bdir, fname)
+        # zstd to match the Spark-side writer (session.py parquet codec):
+        # ~2x better ratio at similar speed, and fewer bytes moved is the
+        # scalable direction — file IO is the one resource a multi-node
+        # cluster multiplies that a wider single box does not
+        _pq.write_table(chunk, fpath, compression="zstd")
+        stats = {}
+        for c in pk:
+            mm = _pc.min_max(chunk.column(c)).as_py()
+            lo, hi = mm["min"], mm["max"]
+            if isinstance(lo, (str, int, float)) and isinstance(hi, (str, int, float)):
+                stats[c] = [lo, hi]
+        out.append({
+            "path": _os.path.join(txn_rel, f"_bucket={int(b)}", fname),
+            "bucket": int(b),
+            "mod": int(mod),
+            "schema_id": int(sid),
+            "collapsed": True,
+            "rows": int(chunk.num_rows),
+            "bytes": int(_os.path.getsize(fpath)),
+            "stats": stats,
+        })
+    return out
+
+
+#: Spark primitive -> Arrow type for the local-merge batch conversion.
+#: timestamp/date are deliberately absent: the batch side round-trips
+#: through pandas (datetime64[ns]) and precision/zone fidelity vs Spark's
+#: parquet writer is not guaranteed — those tables take the plan-based
+#: merge. (Local COMPACT keeps them: it never converts data columns.)
+_SPARK_TO_ARROW = {
+    "string": "string", "boolean": "bool", "byte": "int8", "short": "int16",
+    "integer": "int32", "long": "int64", "float": "float32",
+    "double": "float64", "binary": "binary",
+}
+
+
 def _bucket_overlap(entry_bucket: int, entry_mod: int, want: set, want_mod: int) -> bool:
     """Can a file bucketed under ``entry_mod`` hold a key whose bucket
     under ``want_mod`` is in ``want``? Exact when one modulus divides the
@@ -882,6 +997,7 @@ class LakeTable:
         precollapsed: bool = False,
         extra_properties: dict | None = None,
         mode: str | None = None,
+        strategy: str = "auto",
     ) -> MergeStats:
         """MERGE by PK with LWW-on-version semantics. Two physical modes:
 
@@ -968,33 +1084,42 @@ class LakeTable:
                     )
                 return MergeStats(skipped=False, version=self.version, source_rows=0,
                                   total_buckets=self.n_buckets)
-            target = self.read(
-                buckets=touched, live_only=False, with_meta=True, collapse=False
-            ).withColumn("_bucket", self._bucket_expr())
-            merged = None
-            # broadcast path requires: batch small enough to broadcast AND
-            # a single-generation target (a needs_collapse table may hold
-            # several versions per key per bucket — only the classic
-            # collapse dedups those)
-            if (
-                n_src <= UPSERT_BROADCAST_ROWS
-                and n_src * self._kv_row_width() <= UPSERT_BROADCAST_BYTES
-                and not self.properties.get("needs_collapse")
-            ):
-                merged = self._merge_via_broadcast(target, src)
-            if merged is None:
-                merged = lww_collapse(
-                    target.unionByName(src), self.pk, self.version_cols
-                )
-            n_parts = max(1, min(len(touched), self._n_write_parts()))
-            # exactly the files whose content went into `merged` — the
-            # rebase-retry must drop these and ONLY these
+            # exactly the files whose content goes into the merge output —
+            # the rebase-retry must drop these and ONLY these
             consumed = {
                 f["path"]
                 for f in self.manifest["files"]
                 if self._bucket_match(f, set(touched))
             }
-            entries = self._write_txn(merged, self._txn_name(), n_parts, collapsed=True)
+            entries = None
+            if strategy == "auto":
+                # per-bucket Arrow merge: the target never re-enters Spark
+                # (no scan + union shuffle, no driver-serial broadcast);
+                # handles multi-generation targets directly
+                entries = self._merge_local_entries(touched, src, n_src)
+            if entries is None:
+                target = self.read(
+                    buckets=touched, live_only=False, with_meta=True, collapse=False
+                ).withColumn("_bucket", self._bucket_expr())
+                merged = None
+                # broadcast path requires: batch small enough to broadcast
+                # AND a single-generation target (a needs_collapse table may
+                # hold several versions per key per bucket — only the
+                # classic collapse dedups those)
+                if (
+                    n_src <= UPSERT_BROADCAST_ROWS
+                    and n_src * self._kv_row_width() <= UPSERT_BROADCAST_BYTES
+                    and not self.properties.get("needs_collapse")
+                ):
+                    merged = self._merge_via_broadcast(target, src)
+                if merged is None:
+                    merged = lww_collapse(
+                        target.unionByName(src), self.pk, self.version_cols
+                    )
+                n_parts = max(1, min(len(touched), self._n_write_parts()))
+                entries = self._write_txn(
+                    merged, self._txn_name(), n_parts, collapsed=True
+                )
             props = dict(extra_properties or {})
             if fence:
                 props[f"fence.{fence[0]}"] = int(fence[1])
@@ -1075,6 +1200,116 @@ class LakeTable:
             F.col("__tv").isNull() | (F.struct(*[src[c] for c in vc]) >= F.col("__tv"))
         ).drop(*[f"__k{i}" for i in range(len(pk))], "__tv")
         return t_keep.unionByName(s_keep)
+
+    def _merge_local_entries(
+        self, touched, src: DataFrame, n_src: int = 0
+    ) -> list[dict] | None:
+        """Shuffle-minimal per-bucket upsert merge — the COW twin of
+        :meth:`_compact_local_entries`. Returns new manifest entries, or
+        None when not applicable (caller falls back to the plan-based
+        broadcast/classic merge).
+
+        The only shuffle is the batch's own bucket partitioning (any merge
+        needs it); the TARGET side never re-enters Spark: each per-bucket
+        task reads its bucket's parquet directly (pyarrow), appends the
+        batch group, winner-selects on the light (pk, version) projection
+        and writes the replacement file. Eliminates the target scan +
+        union shuffle / driver-serial broadcast build from the CoW path.
+
+        Batch-side type fidelity: the pandas group converts back to Arrow
+        against an explicit schema derived from the table's physical
+        schema (NaN -> null for int/bool), so a long column with NULLs can
+        never degrade to float64. Tables with timestamp/date columns fall
+        back (pandas datetime round-trip fidelity vs the JVM writer is not
+        guaranteed); local COMPACT still covers them since it never
+        converts data columns."""
+        import pyarrow as pa
+
+        sid = str(self.manifest["schema_id"])
+        files = [
+            f for f in self.manifest["files"]
+            if self._bucket_match(f, set(touched))
+        ]
+        if any(str(f["schema_id"]) != sid for f in files):
+            return None
+        if any(self._file_mod(f) != self.n_buckets for f in files):
+            return None
+        phys = _physical(self.schema)
+        if any(f.dataType.typeName() not in _SPARK_TO_ARROW for f in phys.fields):
+            return None
+        cap = int(self.properties.get(
+            "local_compact_max_bucket_bytes", 4 << 30
+        ))
+        by_b: dict[int, list[dict]] = {}
+        for f in files:
+            by_b.setdefault(int(f["bucket"]), []).append(f)
+        total_bytes = 0
+        for ents in by_b.values():
+            bb = sum(int(e.get("bytes") or 0) for e in ents)
+            if bb > cap:
+                return None
+            total_bytes += bb
+        # cost-model floor: a tiny micro-batch over a small target is
+        # cheaper through the broadcast plan than through len(touched)
+        # Python tasks' fixed overhead
+        if (
+            total_bytes < int(self.properties.get("local_merge_min_bytes", 64 << 20))
+            and n_src < int(self.properties.get("local_merge_min_rows", 100_000))
+        ):
+            return None
+        arrow_schema = pa.schema([
+            (f.name, pa.type_for_alias(_SPARK_TO_ARROW[f.dataType.typeName()]))
+            for f in phys.fields
+        ])
+        paths_by_b = {
+            b: (
+                [e["path"] for e in ents],
+                int(sum(int(e.get("bytes") or 0) for e in ents)),
+            )
+            for b, ents in by_b.items()
+        }
+        txn_rel = os.path.join(DATA_DIR, self._txn_name("-merge"))
+        txn_dir = os.path.join(self.root, txn_rel)
+        os.makedirs(txn_dir, exist_ok=False)
+        root = self.root
+        pk, vcols = list(self.pk), list(self.version_cols)
+        schema_names = [f.name for f in phys.fields]
+        sid_i = self.manifest["schema_id"]
+        n_buckets = self.n_buckets
+        target_file_bytes = int(self.properties.get("target_file_bytes", 128 << 20))
+
+        def fn(key, pdf):
+            import json as _json
+            import os as _os
+
+            import pandas as _pd
+            import pyarrow as _pa
+            import pyarrow.parquet as _pq
+
+            _arrow_pin_single_thread()
+            b = int(key[0])
+            batch = _pa.Table.from_pandas(
+                pdf[schema_names], schema=arrow_schema, preserve_index=False
+            ).replace_schema_metadata(None)
+            paths, in_bytes = paths_by_b.get(b, ([], 0))
+            parts = [
+                _pq.read_table(_os.path.join(root, p), use_threads=False)
+                .select(schema_names).cast(arrow_schema)
+                .replace_schema_metadata(None)
+                for p in paths
+            ]
+            tbl = _pa.concat_tables(parts + [batch]) if parts else batch
+            tbl = _arrow_lww_collapse(tbl, pk, vcols, False)
+            n_chunks = max(
+                1, (int(in_bytes) + target_file_bytes - 1) // target_file_bytes
+            )
+            entries = _arrow_write_bucket(
+                tbl, txn_dir, txn_rel, b, n_chunks, pk, sid_i, n_buckets
+            )
+            return _pd.DataFrame({"entry": [_json.dumps(e) for e in entries]})
+
+        res = src.groupBy("_bucket").applyInPandas(fn, "entry string")
+        return [json.loads(r["entry"]) for r in res.collect()]
 
     def _n_write_parts(self) -> int:
         return int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -1331,96 +1566,30 @@ class LakeTable:
         def run(batches):
             import json as _json
             import os as _os
-            import uuid as _uuid
 
             import pandas as _pd
             import pyarrow as _pa
-            import pyarrow.compute as _pc
             import pyarrow.parquet as _pq
 
-            # each task is one core's worth of work: N concurrent Python
-            # workers each spinning Arrow's default (ncpu-wide) pool would
-            # oversubscribe the box N-fold (measured 2.5x task slowdown)
-            try:
-                _pa.set_cpu_count(1)
-                _pa.set_io_thread_count(1)
-            except Exception:
-                pass
+            _arrow_pin_single_thread()
             for pdf_in in batches:
                 out = []
                 for b, paths_j, in_bytes in zip(
                     pdf_in["bucket"], pdf_in["paths"], pdf_in["in_bytes"]
                 ):
                     paths = [_os.path.join(root, p) for p in _json.loads(paths_j)]
-                    # 32 concurrent python workers each spinning up Arrow's
-                    # default (ncpu-wide) thread pool oversubscribes the
-                    # box 32x — each task is already one core's worth
                     parts = [_pq.read_table(p, use_threads=False) for p in paths]
                     tbl = parts[0] if len(parts) == 1 else _pa.concat_tables(parts)
                     tbl = tbl.select(schema_names)
-                    # winner selection runs on a LIGHT (pk + version)
-                    # projection; the WIDE columns (content-heavy) move
-                    # exactly once, in the final winners-only take —
-                    # reordering the full wide table would cost ~the
-                    # generation factor more memory traffic
-                    light = tbl.select(list(dict.fromkeys(pk + vcols)))
-                    # struct-max winner per key: ascending multi-key sort
-                    # (nulls first), keep the LAST row per pk
-                    idx = _pc.sort_indices(
-                        light,
-                        sort_keys=[(c, "ascending") for c in vcols],
-                        null_placement="at_start",
-                    )
-                    sorted_light = light.take(idx)
-                    kdf = _pd.DataFrame(
-                        {c: sorted_light.column(c).to_pandas() for c in pk}
-                    )
-                    keep = (~kdf.duplicated(subset=pk, keep="last")).values
-                    win_idx = idx.filter(_pa.array(keep))
-                    tbl = tbl.take(win_idx)
-                    if purge_tombstones:
-                        dead = _pc.fill_null(tbl.column(IS_DELETE), False)
-                        tbl = tbl.filter(_pc.invert(dead))
-                    if tbl.num_rows == 0:
-                        continue
-                    tbl = tbl.take(
-                        _pc.sort_indices(
-                            tbl, sort_keys=[(c, "ascending") for c in pk],
-                            null_placement="at_start",
-                        )
-                    )
-                    bdir = _os.path.join(txn_dir, f"_bucket={int(b)}")
-                    _os.makedirs(bdir, exist_ok=True)
+                    tbl = _arrow_lww_collapse(tbl, pk, vcols, purge_tombstones)
                     n_chunks = max(
                         1, (int(in_bytes) + target_file_bytes - 1)
                         // target_file_bytes,
                     )
-                    step = (tbl.num_rows + n_chunks - 1) // n_chunks
-                    for ci in range(0, tbl.num_rows, step):
-                        chunk = tbl.slice(ci, step)
-                        fname = f"part-{int(b):05d}-{_uuid.uuid4().hex[:12]}.parquet"
-                        fpath = _os.path.join(bdir, fname)
-                        _pq.write_table(chunk, fpath, compression="snappy")
-                        stats = {}
-                        for c in pk:
-                            mm = _pc.min_max(chunk.column(c)).as_py()
-                            lo, hi = mm["min"], mm["max"]
-                            if isinstance(lo, (str, int, float)) and isinstance(
-                                hi, (str, int, float)
-                            ):
-                                stats[c] = [lo, hi]
-                        out.append({
-                            "path": _os.path.join(
-                                txn_rel, f"_bucket={int(b)}", fname
-                            ),
-                            "bucket": int(b),
-                            "mod": n_buckets,
-                            "schema_id": sid_i,
-                            "collapsed": True,
-                            "rows": int(chunk.num_rows),
-                            "bytes": int(_os.path.getsize(fpath)),
-                            "stats": stats,
-                        })
+                    out.extend(_arrow_write_bucket(
+                        tbl, txn_dir, txn_rel, int(b), n_chunks,
+                        pk, sid_i, n_buckets,
+                    ))
                 yield _pd.DataFrame(
                     {"entry": [_json.dumps(e) for e in out]}
                 )

@@ -1281,3 +1281,39 @@ def test_compact_statless_file_disables_skip_count_gate(spark, tmp_path):
     assert seen.get("skip_count") is False
     t2 = LakeTable.load(spark, root)
     assert sorted(tuple(r) for r in t2.current().collect()) == expected
+
+
+def test_upsert_local_merge_matches_plan_merge(spark, tmp_path):
+    """The per-bucket Arrow upsert merge must produce byte-identical state
+    (including tombstones and meta columns) to the plan-based merge across
+    multiple batches, and must actually take the local path when the cost
+    floor is disabled."""
+    from cds_spark.operators.decode import decode_feed_rows
+    from cds_spark.sources.feed import REPO_SCHEMA, change_feed
+
+    feed = change_feed(spark, 3000, n_repos=10, paths_per_repo=15, seed=55)
+    states = {}
+    for label, props, strat in (
+        ("plan", {}, "plan"),
+        ("local", {"local_merge_min_rows": 0, "local_merge_min_bytes": 0}, "auto"),
+    ):
+        root = str(tmp_path / f"um_{label}")
+        t = LakeTable.create(
+            spark, root, REPO_SCHEMA, pk=["repo", "path"],
+            version_cols=["commit", "_offset"], n_buckets=8,
+            properties={"merge_mode": "upsert", **props},
+        )
+        for i in range(3):
+            batch = feed.filter(
+                (F.col("offset") >= i * 1000) & (F.col("offset") < (i + 1) * 1000)
+            )
+            rows, _ = decode_feed_rows(batch, t.schema, t.pk, inject={"commit": "commit"})
+            t.merge(rows, fence=("um", i), strategy=strat)
+        t2 = LakeTable.load(spark, root)
+        states[label] = sorted(
+            tuple(r) for r in t2.read(live_only=False, with_meta=True).collect()
+        )
+        if label == "local":
+            assert any("-merge" in f["path"] for f in t2.manifest["files"]), \
+                "local merge path was not taken"
+    assert states["plan"] == states["local"]
