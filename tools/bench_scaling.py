@@ -192,8 +192,12 @@ def main() -> None:
         # kernel-time storms (see BASELINE.md), so each level runs
         # `repeats` times and the BEST run represents capability — noise
         # only ever subtracts throughput, never adds it
+        # 4N first: the wide level is far more sensitive to a mid-run host
+        # window collapse (32 workers starve together), so it gets the
+        # freshest gated window; the N level's throughput is stable across
+        # windows (observed ±4% all session vs 2x swings at 4N)
         for i in range(repeats):
-            for cores in (n, four_n):
+            for cores in (four_n, n):
                 gate(f"local[{cores}] run {i}")
                 runs[cores].append(
                     _run(CHILD.format(repo=repo),
