@@ -173,18 +173,18 @@ def main() -> None:
     runs: dict[int, list[dict]] = {n: [], four_n: []}
     probes: list[float] = []
 
-    def gate(label: str) -> None:
-        if not bar:
+    def gate(label: str, level_bar: float) -> None:
+        if not level_bar:
             return
         while time.time() < gate_deadline:
             sp = _quick_probe(four_n if four_n <= 32 else 32)
             probes.append(round(sp, 2))
-            if sp >= bar:
-                print(f"# gate {label}: probe {sp:.2f} >= {bar} — go", flush=True)
+            if sp >= level_bar:
+                print(f"# gate {label}: probe {sp:.2f} >= {level_bar} — go", flush=True)
                 return
-            print(f"# gate {label}: probe {sp:.2f} < {bar} — waiting", flush=True)
+            print(f"# gate {label}: probe {sp:.2f} < {level_bar} — waiting", flush=True)
             time.sleep(90)
-        raise SystemExit(f"no quiet window (probe >= {bar}) before deadline")
+        raise SystemExit(f"no quiet window (probe >= {level_bar}) before deadline")
 
     try:
         _run(PREP.format(repo=repo), [feed_dir, str(n_events), str(n_batches)], "prep")
@@ -196,9 +196,16 @@ def main() -> None:
         # window collapse (32 workers starve together), so it gets the
         # freshest gated window; the N level's throughput is stable across
         # windows (observed ±4% all session vs 2x swings at 4N)
+        # tiered bar: only the 4N level needs the pristine window (its
+        # throughput swings 2x with host state); the N level is stable
+        # across windows (±4% all session), so a relaxed bar stops it
+        # from burning quiet-window time it doesn't need
         for i in range(repeats):
             for cores in (four_n, n):
-                gate(f"local[{cores}] run {i}")
+                level_bar = bar if cores == four_n else (
+                    min(bar, max(2.7, bar - 0.6)) if bar else 0.0
+                )
+                gate(f"local[{cores}] run {i}", level_bar)
                 runs[cores].append(
                     _run(CHILD.format(repo=repo),
                          [str(cores), str(n_events), feed_dir],
