@@ -205,12 +205,31 @@ def main() -> None:
                 level_bar = bar if cores == four_n else (
                     min(bar, max(2.7, bar - 0.6)) if bar else 0.0
                 )
-                gate(f"local[{cores}] run {i}", level_bar)
-                runs[cores].append(
-                    _run(CHILD.format(repo=repo),
-                         [str(cores), str(n_events), feed_dir],
-                         f"local[{cores}] run {i}")
-                )
+                # a gate pass (~10s probe) does not guarantee the window
+                # survives the ~60s measured run — the dominant failure
+                # mode all session. The child measures its own in-JVM
+                # compute probe right AFTER the replay; when that says the
+                # window collapsed mid-run at the sensitive 4N level,
+                # re-gate and retry the level instead of accepting a
+                # host-noise artifact (bounded retries; every run is
+                # still recorded in all_runs).
+                for retry in range(3 if (bar and cores == four_n) else 1):
+                    gate(f"local[{cores}] run {i}", level_bar)
+                    r = _run(CHILD.format(repo=repo),
+                             [str(cores), str(n_events), feed_dir],
+                             f"local[{cores}] run {i}")
+                    runs[cores].append(r)
+                    post = float(r.get("probe_sec") or 0)
+                    quiet_bound = 0.95 * (32.0 / cores)
+                    if not bar or cores != four_n or (
+                        post and post <= quiet_bound
+                    ):
+                        break
+                    print(
+                        f"# local[{cores}] run {i}: in-run probe "
+                        f"{post:.2f}s > {quiet_bound:.2f}s — window "
+                        f"collapsed mid-run, retrying level", flush=True,
+                    )
     finally:
         shutil.rmtree(feed_dir, ignore_errors=True)
     r_n = max(runs[n], key=lambda r: r["events_per_sec"])
