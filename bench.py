@@ -55,6 +55,7 @@ HEADLINE = [
     "dedup_simhash_signatures",
     "ann_cosine_topk",
     "ann_cosine_topk_lsh",
+    "ann_cosine_topk_lsh_multiprobe",
     "text_quality_scores",
     "text_token_counts",
     "text_fingerprints",
