@@ -646,7 +646,7 @@ def test_compact_bounds_output_file_size(spark, tmp_path):
     t = LakeTable.create(
         spark, root, REPO_SCHEMA, pk=["repo", "path"],
         version_cols=["commit", "_offset"], n_buckets=2,
-        properties={"merge_mode": "append", "target_file_bytes": 262_144},
+        properties={"merge_mode": "append", "target_file_bytes": 65_536},
     )
     for i in range(3):
         feed = change_feed(spark, 1500, n_repos=4, paths_per_repo=50, seed=31 + i,
@@ -656,8 +656,14 @@ def test_compact_bounds_output_file_size(spark, tmp_path):
         )
         t.merge(rows, fence=("szc", i))
     before = sorted(tuple(r) for r in t.current().collect())
-    sel_bytes = sum(int(f["bytes"]) for f in t.manifest["files"])
-    assert sel_bytes > 262_144  # the premise: more data than one target file
+    # the premise: EVERY bucket's selected input exceeds one target file
+    # (the local compact chunks per bucket by that bucket's input bytes —
+    # a tiny collapsed bucket must NOT be split just because the table
+    # total is large)
+    per_in = {}
+    for f in t.manifest["files"]:
+        per_in[f["bucket"]] = per_in.get(f["bucket"], 0) + int(f["bytes"])
+    assert all(b > 65_536 for b in per_in.values()), per_in
     t.compact()
     per_bucket = {}
     for f in t.manifest["files"]:
