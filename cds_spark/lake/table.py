@@ -237,16 +237,33 @@ def _arrow_write_bucket(
     return out
 
 
-#: Spark primitive -> Arrow type for the local-merge batch conversion.
-#: timestamp/date are deliberately absent: the batch side round-trips
-#: through pandas (datetime64[ns]) and precision/zone fidelity vs Spark's
-#: parquet writer is not guaranteed — those tables take the plan-based
-#: merge. (Local COMPACT keeps them: it never converts data columns.)
+#: Spark primitive -> Arrow type alias for the local-merge conversion.
 _SPARK_TO_ARROW = {
     "string": "string", "boolean": "bool", "byte": "int8", "short": "int16",
     "integer": "int32", "long": "int64", "float": "float32",
     "double": "float64", "binary": "binary",
 }
+
+
+def _arrow_type_for(spark_type_name: str):
+    """Canonical Arrow type for a Spark primitive in the local merge path,
+    or None when unsupported. The batch side arrives via applyInArrow (no
+    pandas round-trip — NaN stays NaN, int-with-NULL stays int):
+
+    - ``timestamp`` -> timestamp[us, tz=UTC]: Spark's internal precision is
+      microseconds and the session zone is pinned UTC (session.py), so this
+      is exactly what Spark's Arrow conversion delivers; target parquet
+      written as INT96 reads back as naive ns whose int64 payload is also
+      a UTC epoch — the cast to us/UTC reinterprets it losslessly.
+    - ``date`` -> date32, parquet DATE both ways."""
+    import pyarrow as pa
+
+    if spark_type_name == "timestamp":
+        return pa.timestamp("us", tz="UTC")
+    if spark_type_name == "date":
+        return pa.date32()
+    alias = _SPARK_TO_ARROW.get(spark_type_name)
+    return pa.type_for_alias(alias) if alias else None
 
 
 def _bucket_overlap(entry_bucket: int, entry_mod: int, want: set, want_mod: int) -> bool:
@@ -1216,13 +1233,13 @@ class LakeTable:
         and writes the replacement file. Eliminates the target scan +
         union shuffle / driver-serial broadcast build from the CoW path.
 
-        Batch-side type fidelity: the pandas group converts back to Arrow
-        against an explicit schema derived from the table's physical
-        schema (NaN -> null for int/bool), so a long column with NULLs can
-        never degrade to float64. Tables with timestamp/date columns fall
-        back (pandas datetime round-trip fidelity vs the JVM writer is not
-        guaranteed); local COMPACT still covers them since it never
-        converts data columns."""
+        Batch-side type fidelity: the group arrives as an Arrow table
+        (applyInArrow — NO pandas round-trip), cast to the canonical
+        physical Arrow schema (:func:`_arrow_type_for`): a long column with
+        NULLs stays int64, float NaN stays NaN (pandas would silently turn
+        it into null), timestamps are us/UTC end-to-end. Only float/double
+        VERSION columns fall back to the plan paths (NaN ordering — see
+        :meth:`_float_version_cols`)."""
         import pyarrow as pa
 
         sid = str(self.manifest["schema_id"])
@@ -1235,7 +1252,9 @@ class LakeTable:
         if any(self._file_mod(f) != self.n_buckets for f in files):
             return None
         phys = _physical(self.schema)
-        if any(f.dataType.typeName() not in _SPARK_TO_ARROW for f in phys.fields):
+        if any(_arrow_type_for(f.dataType.typeName()) is None for f in phys.fields):
+            return None
+        if self._float_version_cols(phys):
             return None
         cap = int(self.properties.get(
             "local_compact_max_bucket_bytes", 4 << 30
@@ -1258,7 +1277,7 @@ class LakeTable:
         ):
             return None
         arrow_schema = pa.schema([
-            (f.name, pa.type_for_alias(_SPARK_TO_ARROW[f.dataType.typeName()]))
+            (f.name, _arrow_type_for(f.dataType.typeName()))
             for f in phys.fields
         ])
         paths_by_b = {
@@ -1278,19 +1297,19 @@ class LakeTable:
         n_buckets = self.n_buckets
         target_file_bytes = int(self.properties.get("target_file_bytes", 128 << 20))
 
-        def fn(key, pdf):
+        def fn(key, tbl_in):
             import json as _json
             import os as _os
 
-            import pandas as _pd
             import pyarrow as _pa
             import pyarrow.parquet as _pq
 
             _arrow_pin_single_thread()
-            b = int(key[0])
-            batch = _pa.Table.from_pandas(
-                pdf[schema_names], schema=arrow_schema, preserve_index=False
-            ).replace_schema_metadata(None)
+            b = int(key[0].as_py())
+            batch = (
+                tbl_in.select(schema_names).cast(arrow_schema)
+                .replace_schema_metadata(None)
+            )
             paths, in_bytes = paths_by_b.get(b, ([], 0))
             parts = [
                 _pq.read_table(_os.path.join(root, p), use_threads=False)
@@ -1300,15 +1319,24 @@ class LakeTable:
             ]
             tbl = _pa.concat_tables(parts + [batch]) if parts else batch
             tbl = _arrow_lww_collapse(tbl, pk, vcols, False)
+            # output chunking must see the BATCH's bytes too, not just the
+            # existing files': a large batch merged into an empty/small
+            # bucket would otherwise emit one file arbitrarily past
+            # target_file_bytes. Arrow in-memory bytes run ~3x the
+            # zstd-parquet footprint — scale before summing.
+            est_bytes = int(in_bytes) + batch.nbytes // 3
             n_chunks = max(
-                1, (int(in_bytes) + target_file_bytes - 1) // target_file_bytes
+                1, (est_bytes + target_file_bytes - 1) // target_file_bytes
             )
             entries = _arrow_write_bucket(
                 tbl, txn_dir, txn_rel, b, n_chunks, pk, sid_i, n_buckets
             )
-            return _pd.DataFrame({"entry": [_json.dumps(e) for e in entries]})
+            return _pa.table(
+                {"entry": _pa.array([_json.dumps(e) for e in entries],
+                                    type=_pa.string())}
+            )
 
-        res = src.groupBy("_bucket").applyInPandas(fn, "entry string")
+        res = src.groupBy("_bucket").applyInArrow(fn, "entry string")
         return [json.loads(r["entry"]) for r in res.collect()]
 
     def _n_write_parts(self) -> int:
@@ -1323,7 +1351,17 @@ class LakeTable:
         tombstones/generations exist; ``rows`` here is physical rows."""
         files = self.manifest["files"]
         gens = self.bucket_generations()
-        return {
+        # under-bucketing hazard surface: a bucket past the local-compact
+        # byte cap silently routes compact/merge onto the slow plan paths
+        # (the exact failure mode rebucket() exists to fix) — flag it here
+        # so ops sees it BEFORE throughput degrades, not after
+        by_bucket: dict[int, int] = {}
+        for f in files:
+            b = int(f["bucket"])
+            by_bucket[b] = by_bucket.get(b, 0) + int(f.get("bytes") or 0)
+        cap = int(self.properties.get("local_compact_max_bucket_bytes", 4 << 30))
+        over = sorted(b for b, bb in by_bucket.items() if bb > cap)
+        out = {
             "version": self.version,
             "n_files": len(files),
             "rows": sum(int(f.get("rows") or 0) for f in files),
@@ -1332,7 +1370,25 @@ class LakeTable:
             "dirty_buckets": len(self._dirty_buckets()),
             "max_generations": max(gens.values(), default=0),
             "needs_collapse": bool(self.properties.get("needs_collapse")),
+            "local_compact_cap_bytes": cap,
+            "over_cap_buckets": over[:32],
+            "n_over_cap_buckets": len(over),
         }
+        if over:
+            worst = max(by_bucket[b] for b in over)
+            # suggest a modulus that puts the worst bucket at <= cap/2,
+            # rounded up to a power of two (a power-of-two ratio keeps
+            # _bucket_overlap exact during and after the migration)
+            factor = 1
+            while worst // factor > cap // 2:
+                factor *= 2
+            out["rebucket_hint"] = (
+                f"{len(over)} bucket(s) exceed local_compact_max_bucket_bytes="
+                f"{cap}; maintenance is falling back to plan-based paths. "
+                f"Run rebucket({self.n_buckets * factor})."
+            )
+            out["rebucket_suggested_n"] = self.n_buckets * factor
+        return out
 
     def validate(self, buckets: Sequence[int] | None = None) -> dict:
         """Invariant audit (ops tool, O(selected buckets) scan):
@@ -1362,8 +1418,12 @@ class LakeTable:
         mods = sorted({self._file_mod(f) for f in self.manifest["files"]}) or [
             self.n_buckets
         ]
+        # NOTE: not gated on len(mods) > 1 — right after rebucket-begin (or
+        # after a crash before the first rewrite) EVERY file carries one
+        # legacy mod != n_buckets; judging those rows under the new modulus
+        # would report a correct table as misplaced
         mod_expr = F.lit(self.n_buckets)
-        if len(mods) > 1:
+        if mods != [self.n_buckets]:
             for other in mods:
                 if other == self.n_buckets:
                     continue
@@ -1478,6 +1538,19 @@ class LakeTable:
         # winners handle — compact() does so synchronously.
         return lww_collapse(filtered, self.pk, self.version_cols), winners
 
+    def _float_version_cols(self, phys: T.StructType) -> bool:
+        """True when any VERSION column is float/double — the one type whose
+        ordering the Arrow-local winner select cannot reproduce: Spark sorts
+        NaN ABOVE every value, Arrow groups NaN with nulls under
+        ``null_placement`` (measured: NaN lands at_start), so a NaN version
+        would pick a different winner. Data columns may be float (values
+        only ride along); version columns force the plan-based paths."""
+        vc = set(self.version_cols)
+        return any(
+            f.dataType.typeName() in ("float", "double")
+            for f in phys.fields if f.name in vc
+        )
+
     # types the Arrow-local compaction handles losslessly (read + winner
     # select + write without ever widening/narrowing a column)
     _LOCAL_COMPACT_TYPES = {
@@ -1512,10 +1585,15 @@ class LakeTable:
         ``max(struct(version_cols))``. Arrow's multi-key ascending sort
         with nulls first is the same lexicographic order (UTF-8 byte order
         equals code-point order, so string comparison agrees), and taking
-        the LAST row per key after that sort is the struct max. Only the PK
-        columns round-trip through pandas (for the duplicated() mask) —
-        data columns stay in Arrow end-to-end, so integer columns with
-        NULLs can never degrade to float64."""
+        the LAST row per key after that sort is the struct max — selected
+        by an Arrow C++ group_by argmax over row positions
+        (:func:`_arrow_lww_collapse`); nothing round-trips through pandas,
+        so integer columns with NULLs can never degrade to float64. The one
+        ordering divergence is float/double VERSION columns: Spark sorts
+        NaN above every value, Arrow groups NaN with nulls under
+        ``null_placement`` — those tables take the plan-based paths
+        (data columns may still be float; only the winner rule reads
+        version columns)."""
         sid = str(self.manifest["schema_id"])
         files = [
             f for f in self.manifest["files"]
@@ -1532,6 +1610,8 @@ class LakeTable:
             f.dataType.typeName() not in self._LOCAL_COMPACT_TYPES
             for f in phys.fields
         ):
+            return None
+        if self._float_version_cols(phys):
             return None
 
         by_b: dict[int, list[dict]] = {}
@@ -1819,9 +1899,14 @@ class LakeTable:
 
         # phase 2: rewrite legacy files group-by-group
         rewritten = 0
-        phys = _physical(self.schema)
         while True:
             self._reload_latest()
+            # phys/schema_id must come from the manifest THIS iteration's
+            # commit will land on: a concurrent schema-evolution commit
+            # mid-rebucket would otherwise stamp new-schema entries over
+            # old-column files ( _read_entries aligns old files to the
+            # current physical schema, so recomputing is also sufficient)
+            phys = _physical(self.schema)
             legacy = [
                 f for f in self.manifest["files"]
                 if self._file_mod(f) != new_n

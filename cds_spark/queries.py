@@ -986,6 +986,45 @@ FROM documents
 """
 
 
+def q_multimodal_real_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode, fully oracle-checked: synth_media_binary builds
+    genuine PNG/WAV bytes whose parameters are deterministic functions of
+    doc_id (multimodal.py:95-129), extract_features_real parses them back
+    with stdlib codecs — so DuckDB can compute the expected
+    width/height/bit_depth/sample_rate/duration/feat_mean WITHOUT decoding
+    any bytes and hash-match the Python decoder's output. (n_bytes is
+    excluded: PNG size depends on zlib's compressed length, which SQL
+    cannot express.) Proves the decode path — not just the plumbing —
+    produces the right values."""
+    from cds_spark.operators.multimodal import (
+        extract_features_real,
+        synth_media_binary,
+    )
+
+    feats = extract_features_real(
+        synth_media_binary(load(spark, sf_dir, "documents"))
+    )
+    return feats.select(
+        "media_id", "media_type", "width", "height", "bit_depth",
+        "sample_rate", "duration_ms", "feat_mean",
+    )
+
+
+ORACLE_MULTIMODAL_REAL = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS media_type,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 32 + 1 AS INTEGER) END AS width,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 24 + 1 AS INTEGER) END AS height,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS INTEGER) AS bit_depth,
+       CASE WHEN doc_id % 2 = 1 THEN CAST(8000 AS INTEGER) END AS sample_rate,
+       CASE WHEN doc_id % 2 = 1
+            THEN CAST(floor(((doc_id % 400) + 40) / 8.0) AS BIGINT) END AS duration_ms,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 256 AS DOUBLE) / 255.0
+            ELSE CAST(doc_id % 1000 AS DOUBLE) / 32768.0 END AS feat_mean
+FROM documents
+"""
+
+
 def q_asof_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For every purchase event, the user's latest error event at or
     before it (backward as-of join — the enrichment shape Spark has no
@@ -1138,6 +1177,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_manifest": q_multimodal_manifest,
     "multimodal_features": q_multimodal_features,
     "multimodal_features_digest": q_multimodal_features_digest,
+    "multimodal_real_features": q_multimodal_real_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -1192,6 +1232,7 @@ def _training_oracles() -> dict[str, str]:
         "multimodal_manifest": ORACLE_MULTIMODAL,
         "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
         "multimodal_features_digest": ORACLE_MULTIMODAL_DIGEST,
+        "multimodal_real_features": ORACLE_MULTIMODAL_REAL,
     }
 
 

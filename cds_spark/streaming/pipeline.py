@@ -662,11 +662,42 @@ def full_sync_windowed(
     # `key > last LIMIT n` until exhaustion, mongo2clickhouse.go:99-108).
     import math
 
+    # The sidecar is NOT the only copy of the frozen grid: bounds are also
+    # committed into the table's own properties with the first grid chunk
+    # (below), so a lost sidecar — or one written by a pre-bounds version of
+    # this code — recovers the exact grid from the table. Without either
+    # copy, a resume with fences already advanced must FAIL LOUDLY for
+    # numeric keysets: recomputing min/max over a grown source shifts every
+    # chunk boundary, and rows landing in already-fenced chunk indexes
+    # would silently never sync. (Hash-striped non-numeric keysets are
+    # growth-stable, so they may recompute safely.)
+    bounds_key = f"fullsync.{job_id}.bounds"
+    stored = table.properties.get(bounds_key)
     if "bounds" in prev:
         bd = prev["bounds"]
         lo, hi, numeric = bd["lo"], bd["hi"], bd["numeric"]
         span = bd["span"]
+    elif stored:
+        bd = json.loads(stored)
+        lo, hi, numeric = bd["lo"], bd["hi"], bd["numeric"]
+        span = bd["span"]
     else:
+        import pyspark.sql.types as _T
+
+        fence_advanced = (
+            table.properties.get(f"fence.fullsync.{job_id}") is not None
+        )
+        key_numeric = isinstance(source.schema[kc].dataType, _T.NumericType)
+        if key_numeric and (start_chunk > 0 or fence_advanced):
+            raise RuntimeError(
+                f"full_sync_windowed[{job_id}]: resume state exists "
+                f"(next_chunk={start_chunk}, fence_advanced={fence_advanced}) "
+                "but the frozen chunk grid is recoverable from neither the "
+                "status sidecar nor the table properties. Recomputing the "
+                "grid over the (possibly grown) source would silently skip "
+                "rows in already-fenced chunks. Clear the job's fence "
+                "property and restart the sync from scratch."
+            )
         b = source.agg(
             F.min(kc).alias("lo"), F.max(kc).alias("hi")
         ).collect()[0]
@@ -719,7 +750,11 @@ def full_sync_windowed(
             chunk = source.filter((F.col(kc) >= c_lo) & (F.col(kc) < c_hi))
         else:  # tail: growth beyond the frozen grid
             chunk = source.filter(F.col(kc) >= lo + span)
-        table.merge(chunk, fence=(f"fullsync.{job_id}", i), mode="append")
+        table.merge(
+            chunk, fence=(f"fullsync.{job_id}", i), mode="append",
+            # durable second copy of the frozen grid (see resume logic)
+            extra_properties={bounds_key: json.dumps(bounds)},
+        )
         _write_status({
             "job_id": job_id, "status": "RUNNING",
             "next_chunk": i + 1, "bounds": bounds,

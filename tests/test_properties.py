@@ -206,3 +206,35 @@ def test_star_cc_matches_minlabel_on_random_graphs(spark, seed):
                 parent[max(ra, rb)] = min(ra, rb)
     exp = {i: min(j for j in range(n) if find(j) == find(i)) for i in range(n)}
     assert out_ml == exp
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(1, 64), st.integers(1, 64),
+    st.sets(st.integers(0, 2**31 - 1), min_size=1, max_size=8),
+)
+def test_bucket_overlap_sound_and_exact_on_divisible_moduli(
+    entry_mod, want_mod, hashes
+):
+    """Verdict r4 #8: _bucket_overlap must NEVER skip a candidate file
+    (soundness, any modulus pair), and must be EXACT when one modulus
+    divides the other (no false keeps beyond the divisibility relation)."""
+    from cds_spark.lake.table import _bucket_overlap
+
+    # keys -> their buckets under each modulus (xxhash64 stand-in: any
+    # deterministic int works, the rule only sees residues)
+    want = {h % want_mod for h in hashes}
+    for h in hashes:
+        eb = h % entry_mod
+        # soundness: the file that HOLDS h must match a lookup for h
+        assert _bucket_overlap(eb, entry_mod, {h % want_mod}, want_mod)
+        assert _bucket_overlap(eb, entry_mod, want, want_mod)
+    if want_mod % entry_mod == 0 or entry_mod % want_mod == 0:
+        # exactness: an entry bucket matches iff SOME residue class in
+        # `want` is reachable from it under the divisibility relation
+        for eb in range(entry_mod):
+            reachable = any(
+                (x % entry_mod == eb) and (x % want_mod in want)
+                for x in range(max(entry_mod, want_mod) * 2)
+            )
+            assert _bucket_overlap(eb, entry_mod, want, want_mod) == reachable
