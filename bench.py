@@ -223,10 +223,10 @@ def _jvm_probe(spark) -> float:
 
 
 def _committed_bests() -> dict[str, float]:
-    """Per-query best timings across committed BENCH_r*.json artifacts —
-    the keep-best reference: a query slower than 1.3x its committed best
-    in THIS run is either a real regression or a collapsed host window,
-    and gets re-run rather than recorded blindly."""
+    """Per-query best timings across committed BENCH_r*.json artifacts AT
+    THE SAME SCALE FACTOR — the keep-best reference: a query slower than
+    1.3x its committed best in THIS run is either a real regression or a
+    collapsed host window, and gets re-run rather than recorded blindly."""
     import glob
 
     best: dict[str, float] = {}
@@ -234,9 +234,28 @@ def _committed_bests() -> dict[str, float]:
     for p in sorted(glob.glob(os.path.join(here, "BENCH_r0*.json"))):
         try:
             with open(p) as f:
-                q = json.load(f).get("queries", {})
+                art = json.load(f)
         except Exception:
             continue
+        # driver artifacts wrap the bench JSON line under "parsed"
+        if "parsed" in art and isinstance(art["parsed"], dict):
+            art = {**art["parsed"], "sf": art.get("sf", art["parsed"].get("sf"))}
+        # driver artifacts record sf as a number (0.1); this harness
+        # records the sf dir path — normalize both to the numeric factor
+        def _sf_num(v) -> float | None:
+            if isinstance(v, (int, float)):
+                return float(v)
+            if isinstance(v, str):
+                tail = os.path.basename(v.rstrip("/")).replace("sf", "")
+                try:
+                    return float(tail)
+                except ValueError:
+                    return None
+            return None
+
+        if _sf_num(art.get("sf")) != _sf_num(SF_DIR):
+            continue
+        q = art.get("queries", {})
         for k, v in q.items():
             if isinstance(v, (int, float)) and v > 0:
                 best[k] = min(best.get(k, float("inf")), float(v))
