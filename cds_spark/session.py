@@ -20,6 +20,26 @@ import subprocess
 
 from pyspark.sql import SparkSession
 
+# HotSpot refuses to JIT-compile methods over 8000 bytecodes
+# (DontCompileHugeMethods) — and whole-stage codegen routinely emits
+# projection methods past that line once a select carries a handful of
+# guarded-regex/coalesce chains (the lenient coercion layer does). The
+# symptom is brutal and silent: the hottest generated method in the plan
+# runs INTERPRETED forever. Measured on the replay decode stage (1M events,
+# 4 cores): 3.63s -> 1.59s from this one flag. Spark's own
+# spark.sql.codegen.hugeMethodLimit exists for the same reason.
+_JIT_OPTS = "-XX:-DontCompileHugeMethods"
+
+
+def _merge_java_opts(conf: dict) -> None:
+    """Ensure _JIT_OPTS survives caller-supplied extraJavaOptions instead of
+    being clobbered by a dict update."""
+    for k in ("spark.driver.extraJavaOptions", "spark.executor.extraJavaOptions"):
+        cur = conf.get(k, "")
+        if _JIT_OPTS not in cur:
+            conf[k] = f"{cur} {_JIT_OPTS}".strip()
+
+
 _DEFAULTS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
@@ -170,6 +190,10 @@ def submit_session(
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if extra_conf:
         conf.update(extra_conf)
+    # driver opts are inert post-launch in submit mode, but executors are
+    # launched from this conf — they must not run huge codegen interpreted
+    _merge_java_opts(conf)
+    conf.pop("spark.driver.extraJavaOptions", None)
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
@@ -207,6 +231,7 @@ def get_spark(
         conf["spark.hadoop.fs.file.impl"] = "FastLocalFileSystem"
     if extra_conf:
         conf.update(extra_conf)
+    _merge_java_opts(conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
