@@ -118,11 +118,14 @@ def _run(script: str, args: list[str], what: str) -> dict | list:
     raise RuntimeError(f"no result from {what}:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 
 
-def _quick_probe(cores_hi: int = 32) -> float:
-    """~10s host-window probe: 8->cores_hi speedup of a pure compute loop
-    (shortened tools/host_probe.py). Used to GATE each measured run on a
-    quiet host instant — the sandbox's effective CPU delivery swings
-    1.6x-3.8x across the day, and a window can collapse mid-campaign."""
+def _quick_probe(cores_hi: int = 32, cores_lo: int = 8) -> float:
+    """~10s host-window probe: cores_lo->cores_hi speedup of a pure compute
+    loop (shortened tools/host_probe.py). Each pool worker burns a FIXED
+    amount of work pinned to its own core, so a perfectly-scaling host makes
+    timed(n) constant in n and the ratio, scaled by cores_hi/cores_lo, reads
+    as the delivered speedup. Used to GATE each measured run on a quiet host
+    instant — the sandbox's effective CPU delivery swings 1.6x-3.8x across
+    the day, and a window can collapse mid-campaign."""
     import multiprocessing as mp
     import time as _t
 
@@ -132,8 +135,8 @@ def _quick_probe(cores_hi: int = 32) -> float:
             pool.map(_probe_burn, [(c, 1_500_000) for c in range(cores)])
             return _t.time() - t0
 
-    timed(8)  # warm forks
-    return timed(8) / timed(cores_hi) * (cores_hi / 8)
+    timed(cores_lo)  # warm forks
+    return timed(cores_lo) / timed(cores_hi) * (cores_hi / cores_lo)
 
 
 def _probe_burn(args) -> int:
@@ -177,7 +180,7 @@ def main() -> None:
         if not level_bar:
             return
         while time.time() < gate_deadline:
-            sp = _quick_probe(four_n if four_n <= 32 else 32)
+            sp = _quick_probe(min(four_n, 32), n)
             probes.append(round(sp, 2))
             if sp >= level_bar:
                 print(f"# gate {label}: probe {sp:.2f} >= {level_bar} — go", flush=True)
