@@ -192,11 +192,15 @@ def _arrow_lww_collapse(tbl, pk: list, vcols: list, drop_tombstones: bool):
 
 def _arrow_write_bucket(
     tbl, txn_dir: str, txn_rel: str, b: int, n_chunks: int,
-    pk: list, sid: int, mod: int,
+    pk: list, sid: int, mod: int, pk_types: list | None = None,
 ) -> list[dict]:
     """Write a collapsed bucket table as 1..n_chunks parquet files under
     the txn dir, returning manifest entries with row counts + PK zone maps
-    computed in-task (no extra footer pass)."""
+    computed in-task (no extra footer pass). When ``pk_types`` is given
+    and supported, a PK bloom-filter sidecar (``<file>.bloom``) is built
+    here too — inside the task, over rows already in memory, so point
+    lookups can skip whole merge generations at zero added driver cost
+    (:mod:`cds_spark.lake.bloom`)."""
     import os as _os
     import uuid as _uuid
 
@@ -224,6 +228,18 @@ def _arrow_write_bucket(
             lo, hi = mm["min"], mm["max"]
             if isinstance(lo, (str, int, float)) and isinstance(hi, (str, int, float)):
                 stats[c] = [lo, hi]
+        bloom = None
+        if pk_types is not None:
+            try:
+                from cds_spark.lake.bloom import build_bloom
+
+                built = build_bloom(chunk, pk, pk_types)
+                if built is not None:
+                    bloom, bloom_bytes = built
+                    with open(fpath + ".bloom", "wb") as bf:
+                        bf.write(bloom_bytes)
+            except Exception:
+                bloom = None  # sidecar is an optimization, never a failure
         out.append({
             "path": _os.path.join(txn_rel, f"_bucket={int(b)}", fname),
             "bucket": int(b),
@@ -233,6 +249,7 @@ def _arrow_write_bucket(
             "rows": int(chunk.num_rows),
             "bytes": int(_os.path.getsize(fpath)),
             "stats": stats,
+            **({"bloom": bloom} if bloom else {}),
         })
     return out
 
@@ -546,6 +563,12 @@ class LakeTable:
     def _file_mod(self, f: dict) -> int:
         return int(f.get("mod", self.n_buckets))
 
+    def _pk_type_names(self, phys: T.StructType) -> list[str]:
+        """PK column Spark type names in PK order (bloom canonicalization
+        support check happens inside :func:`bloom.build_bloom`)."""
+        by_name = {f.name: f.dataType.typeName() for f in phys.fields}
+        return [by_name[c] for c in self.pk]
+
     def _bucket_match(self, f: dict, want: set, want_mod: int | None = None) -> bool:
         return _bucket_overlap(
             int(f["bucket"]), self._file_mod(f), want,
@@ -671,17 +694,50 @@ class LakeTable:
         buckets = sorted({r["_b"] for r in krows})
         keyvals = [tuple(r[c] for c in pk) for r in krows]
 
+        from cds_spark.lake import bloom as _bloom
+
+        canon = (
+            [_bloom.canonical_key(kv) for kv in keyvals]
+            if all(
+                f.dataType.typeName() in _bloom.SUPPORTED_PK_TYPES
+                for f in pk_fields
+            )
+            else None
+        )
+
+        def bloom_hit(entry: dict) -> bool:
+            # bloom-sidecar file skip (tighter than zone maps within a
+            # bucket: merge generations span the full hash-random key
+            # range, so their zone maps all overlap): keep unless the
+            # file's bloom excludes EVERY requested key. Conservative on
+            # any miss — no sidecar, unknown algo, unsupported PK types,
+            # unreadable/corrupt bytes all keep the file.
+            bl = entry.get("bloom")
+            if not bl or bl.get("algo") != _bloom.BLOOM_ALGO or canon is None:
+                return True
+            try:
+                with open(os.path.join(self.root, entry["path"] + ".bloom"),
+                          "rb") as bf:
+                    data = bf.read()
+                return bool(
+                    _bloom.probe(data, bl["m"], bl["k"], canon).any()
+                )
+            except (OSError, ValueError, KeyError):
+                return True
+
         def in_range(entry: dict) -> bool:
             # zone-map file skip within the bucket: keep unless the file's
             # PK bounds exclude EVERY requested key (conservative: files
             # without stats are kept)
             st = entry.get("stats")
             if not st or any(c not in st for c in pk):
-                return True
-            return any(
+                return bloom_hit(entry)
+            if not any(
                 all(st[c][0] <= kv[i] <= st[c][1] for i, c in enumerate(pk))
                 for kv in keyvals
-            )
+            ):
+                return False
+            return bloom_hit(entry)
 
         df = self.read(buckets=buckets, live_only=live_only, file_pred=in_range)
         return df.join(F.broadcast(kdf), on=pk, how="left_semi")
@@ -1292,6 +1348,7 @@ class LakeTable:
         os.makedirs(txn_dir, exist_ok=False)
         root = self.root
         pk, vcols = list(self.pk), list(self.version_cols)
+        pk_types = self._pk_type_names(phys)
         schema_names = [f.name for f in phys.fields]
         sid_i = self.manifest["schema_id"]
         n_buckets = self.n_buckets
@@ -1329,7 +1386,8 @@ class LakeTable:
                 1, (est_bytes + target_file_bytes - 1) // target_file_bytes
             )
             entries = _arrow_write_bucket(
-                tbl, txn_dir, txn_rel, b, n_chunks, pk, sid_i, n_buckets
+                tbl, txn_dir, txn_rel, b, n_chunks, pk, sid_i, n_buckets,
+                pk_types,
             )
             return _pa.table(
                 {"entry": _pa.array([_json.dumps(e) for e in entries],
@@ -1373,6 +1431,10 @@ class LakeTable:
             "local_compact_cap_bytes": cap,
             "over_cap_buckets": over[:32],
             "n_over_cap_buckets": len(over),
+            # point-lookup skipping coverage: files with a PK bloom sidecar
+            # (built by the local compact/merge tasks) vs total — low
+            # coverage on a lookup-heavy table means "run compact"
+            "bloom_files": sum(1 for f in files if f.get("bloom")),
         }
         if over:
             worst = max(by_bucket[b] for b in over)
@@ -1631,6 +1693,7 @@ class LakeTable:
         os.makedirs(txn_dir, exist_ok=False)
         root = self.root
         pk, vcols = list(self.pk), list(self.version_cols)
+        pk_types = self._pk_type_names(phys)
         schema_names = [f.name for f in phys.fields]
         n_buckets = self.n_buckets
         sid_i = self.manifest["schema_id"]
@@ -1668,7 +1731,7 @@ class LakeTable:
                     )
                     out.extend(_arrow_write_bucket(
                         tbl, txn_dir, txn_rel, int(b), n_chunks,
-                        pk, sid_i, n_buckets,
+                        pk, sid_i, n_buckets, pk_types,
                     ))
                 yield _pd.DataFrame(
                     {"entry": [_json.dumps(e) for e in out]}
@@ -2177,6 +2240,10 @@ class LakeTable:
             try:
                 os.remove(p)
                 deleted += 1
+            except FileNotFoundError:
+                pass
+            try:  # bloom sidecar lives and dies with its data file
+                os.remove(p + ".bloom")
             except FileNotFoundError:
                 pass
             d = os.path.dirname(p)
