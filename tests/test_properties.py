@@ -238,3 +238,46 @@ def test_bucket_overlap_sound_and_exact_on_divisible_moduli(
                 for x in range(max(entry_mod, want_mod) * 2)
             )
             assert _bucket_overlap(eb, entry_mod, want, want_mod) == reachable
+
+
+# ------------------------------------------------------------------ blooms
+@settings(max_examples=40, deadline=None)
+@given(
+    keys=st.lists(
+        st.tuples(
+            st.text(min_size=0, max_size=60),  # arbitrary unicode incl. \x1f
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        ),
+        min_size=1, max_size=300, unique=True,
+    ),
+    probes=st.lists(
+        st.tuples(st.text(max_size=60),
+                  st.integers(min_value=-(2**63), max_value=2**63 - 1)),
+        max_size=50,
+    ),
+)
+def test_bloom_never_false_negative(keys, probes):
+    """Soundness under adversarial keys (unicode, empty strings, the
+    canonical separator INSIDE a key, int64 extremes): every inserted key
+    probes present. Separator-in-key canonical collisions are allowed —
+    they are false POSITIVES (one extra file read), never negatives."""
+    import pyarrow as pa
+
+    from cds_spark.lake import bloom
+
+    tbl = pa.table({
+        "k": pa.array([k for k, _ in keys], pa.string()),
+        "v": pa.array([v for _, v in keys], pa.int64()),
+    })
+    built = bloom.build_bloom(tbl, ["k", "v"], ["string", "long"])
+    assert built is not None
+    meta, data = built
+    inside = [bloom.canonical_key(k) for k in keys]
+    assert bloom.probe(data, meta["m"], meta["k"], inside).all()
+    if probes:
+        # probing arbitrary keys never raises; result is a bool per key
+        out = bloom.probe(
+            data, meta["m"], meta["k"],
+            [bloom.canonical_key(p) for p in probes],
+        )
+        assert out.dtype == bool and len(out) == len(probes)
