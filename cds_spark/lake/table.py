@@ -1520,12 +1520,51 @@ class LakeTable:
             dup_collapsed = (
                 clean.groupBy(*self.pk).count().filter(F.col("count") > 1).count()
             )
+        # bloom soundness audit: a corrupt/drifted sidecar means lookup()
+        # could SKIP a file that holds the key — a wrong result, the one
+        # failure blooms must never have. Sample each bloomed file's first
+        # rows and require the sidecar to claim them present (bounded:
+        # pk-columns of one row group per file, first 128 files).
+        from cds_spark.lake import bloom as _bloom
+
+        pk_types = self._pk_type_names(_physical(self.schema))
+        supported = all(t in _bloom.SUPPORTED_PK_TYPES for t in pk_types)
+        bloom_bad: list[str] = []
+        checked = 0
+        for f in files:
+            bl = f.get("bloom")
+            if not bl or bl.get("algo") != _bloom.BLOOM_ALGO or not supported:
+                continue
+            if checked >= 128:
+                break
+            checked += 1
+            try:
+                import pyarrow.parquet as pq
+
+                sample = pq.ParquetFile(
+                    os.path.join(self.root, f["path"])
+                ).read_row_group(0, columns=list(self.pk)).slice(0, 256)
+                canon = _bloom._canonical_array(sample, list(self.pk))
+                with open(os.path.join(self.root, f["path"] + ".bloom"),
+                          "rb") as bf:
+                    data = bf.read()
+                if canon is None or not _bloom.probe(
+                    data, bl["m"], bl["k"], canon.to_pylist()
+                ).all():
+                    bloom_bad.append(f["path"])
+            except Exception:
+                bloom_bad.append(f["path"])
         return {
             "misplaced_rows": int(misplaced),
             "null_pk_rows": int(null_pk),
             "dup_collapsed_keys": int(dup_collapsed),
             "dirty_buckets": len(dirty),
-            "ok": misplaced == 0 and null_pk == 0 and dup_collapsed == 0,
+            "bloom_files_checked": checked,
+            "bloom_violations": bloom_bad[:32],
+            "ok": (
+                misplaced == 0 and null_pk == 0 and dup_collapsed == 0
+                and not bloom_bad
+            ),
         }
 
     def bucket_generations(self, files: Sequence[dict] | None = None) -> dict[int, int]:

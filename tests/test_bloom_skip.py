@@ -183,3 +183,44 @@ def test_expire_removes_bloom_sidecars(spark, tmp_path):
     assert cur
     for rel in cur:
         assert os.path.exists(os.path.join(root, rel + ".bloom"))
+
+
+def test_validate_flags_corrupt_bloom_sidecar(spark, tmp_path):
+    """validate() catches the one failure blooms must never have: a
+    sidecar that denies keys the file actually holds (corruption or hash
+    drift would make lookup() silently skip the file)."""
+    root = str(tmp_path / "t4")
+    table = LakeTable.create(
+        spark, root, REPO_SCHEMA, pk=["repo", "path"],
+        version_cols=["commit", "_offset"], n_buckets=2,
+        properties={"merge_mode": "append"},
+    )
+    feed = change_feed(spark, 400, n_repos=5, paths_per_repo=8, seed=9)
+    rows, _ = events_to_rows(
+        decode_feed(feed, inject={"commit": "commit"}),
+        table.schema, table.pk,
+    )
+    table.merge(rows, fence=("va", 0))
+    table.compact(strategy="local")
+    v = table.validate()
+    assert v["ok"] and v["bloom_files_checked"] > 0 and not v["bloom_violations"]
+    # zero out one sidecar: every probe now reads absent -> violation
+    victim = sorted(_bloomed_paths(table))[0]
+    side = os.path.join(root, victim + ".bloom")
+    size = os.path.getsize(side)
+    with open(side, "wb") as f:
+        f.write(b"\x00" * size)
+    v2 = table.validate()
+    assert victim in v2["bloom_violations"] and not v2["ok"]
+    # ...and lookup stays CORRECT despite the lying sidecar? No — a lying
+    # all-zeros bloom is exactly the wrong-result hazard validate exists
+    # to surface. Deleting the sidecar restores conservative keeps:
+    os.remove(side)
+    v3 = table.validate()
+    # entry still claims a bloom, sidecar gone -> validate flags it too
+    assert victim in v3["bloom_violations"]
+    # but lookup() keeps the file conservatively (OSError path) — reads
+    # stay correct while ops re-compacts
+    any_key = table.current().select("repo", "path").first()
+    assert table.lookup([{"repo": any_key["repo"],
+                          "path": any_key["path"]}]).count() == 1
