@@ -255,6 +255,13 @@ def _committed_bests() -> dict[str, float]:
 
         if _sf_num(art.get("sf")) != _sf_num(SF_DIR):
             continue
+        # and at the same core count: a 32-core best is unreachable at 8
+        # cores — comparing across cpus would trip the 1.3x gate on every
+        # query and burn pointless re-runs (artifacts missing the field
+        # predate the stamp; treat them as comparable)
+        cpus = art.get("cpus")
+        if cpus is not None and int(cpus) != CPUS:
+            continue
         q = art.get("queries", {})
         for k, v in q.items():
             if isinstance(v, (int, float)) and v > 0:

@@ -91,23 +91,19 @@ def _canonical_array(tbl, pk: list):
     return arr
 
 
-def _poly_hashes(arr) -> tuple[np.ndarray, np.ndarray]:
-    """Two independent 64-bit hashes per string of a pa.LargeStringArray,
-    fully vectorized (no per-row Python): a segmented polynomial over the
-    UTF-8 bytes, h(s) = sum((b_i + 1) * P^(L-1-i)) + len(s)*P in uint64
-    wraparound arithmetic. The +1 keeps 0x00 bytes contributing; the
-    length term separates prefix strings from their padded forms."""
-    import pyarrow as pa
+#: per-slab key-byte bound for the segmented hash. The vectorized form
+#: materializes ~6 int64 temporaries per padded key byte (~48x); slabbing
+#: caps the transient at ~50 MB per invocation regardless of how many key
+#: bytes a near-cap bucket's chunk carries — vs an unbounded flat pass
+#: that could transiently need GBs inside every pinned 1-CPU write task.
+_SLAB_BYTES = 1 << 20
 
-    n = len(arr)
-    if n == 0:
-        e = np.zeros(0, np.uint64)
-        return e, e.copy()
-    if arr.offset != 0:
-        # normalize slices so buffer math below starts at offset 0
-        arr = pa.concat_arrays([arr])
-    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64, count=n + 1)
-    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+
+def _poly_hashes_slab(offs: np.ndarray, data: np.ndarray):
+    """Segmented polynomial hash over rows [offs[0], offs[-1]) of the
+    value buffer ``data``; ``offs`` is the (n+1)-long offset window for
+    this slab. Returns raw (h1, h2) — the caller applies the |1."""
+    n = len(offs) - 1
     lengths = np.diff(offs)
     flat = data[offs[0]:offs[-1]].astype(np.uint64)
     # one sentinel slot per row so every reduceat segment is non-empty
@@ -130,7 +126,45 @@ def _poly_hashes(arr) -> tuple[np.ndarray, np.ndarray]:
         h = np.add.reduceat(vals * pows[exp], pstarts).astype(np.uint64)
         h += lengths.astype(np.uint64) * p
         out.append(h)
-    return out[0], out[1] | np.uint64(1)  # odd h2: full-period stepping
+    return out[0], out[1]
+
+
+def _poly_hashes(arr) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent 64-bit hashes per string of a pa.LargeStringArray,
+    fully vectorized (no per-row Python): a segmented polynomial over the
+    UTF-8 bytes, h(s) = sum((b_i + 1) * P^(L-1-i)) + len(s)*P in uint64
+    wraparound arithmetic. The +1 keeps 0x00 bytes contributing; the
+    length term separates prefix strings from their padded forms.
+
+    Processed in byte-bounded row slabs; each row's hash depends only on
+    its own bytes, so slabbing is value-identical to a single flat pass
+    (same ``poly64v1`` stamp — no algo bump needed)."""
+    import pyarrow as pa
+
+    n = len(arr)
+    if n == 0:
+        e = np.zeros(0, np.uint64)
+        return e, e.copy()
+    if arr.offset != 0:
+        # normalize slices so buffer math below starts at offset 0
+        arr = pa.concat_arrays([arr])
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64, count=n + 1)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    h1 = np.empty(n, np.uint64)
+    h2 = np.empty(n, np.uint64)
+    r0 = 0
+    while r0 < n:
+        # furthest row end keeping this slab under the byte cap; always
+        # advance at least one row (a single over-cap key still hashes)
+        r1 = int(np.searchsorted(
+            offs, offs[r0] + _SLAB_BYTES, side="right"
+        )) - 1
+        r1 = min(max(r1, r0 + 1), n)
+        a, b = _poly_hashes_slab(offs[r0:r1 + 1], data)
+        h1[r0:r1] = a
+        h2[r0:r1] = b
+        r0 = r1
+    return h1, h2 | np.uint64(1)  # odd h2: full-period stepping
 
 
 def _bit_positions(h1: np.ndarray, h2: np.ndarray, i: int, m: int):
@@ -161,19 +195,59 @@ def build_bloom(tbl, pk: list, pk_types: list) -> tuple[dict, bytes] | None:
     return {"algo": BLOOM_ALGO, "m": int(m), "k": N_HASHES}, words.tobytes()
 
 
-def probe(data: bytes, m: int, k: int, canon_keys: list) -> np.ndarray:
-    """Per-key possibly-present mask against one sidecar's bytes. Raises
-    ValueError on a size mismatch (truncated/corrupt sidecar) — callers
-    treat that as "keep the file"."""
+def hash_keys(canon_keys: list) -> tuple[np.ndarray, np.ndarray]:
+    """Hash a canonical key list ONCE per lookup. The hashes are
+    independent of any sidecar's (m, k), so probing G merge generations
+    across B buckets costs one hash pass total — not B*G passes — and
+    each file probe is pure bit arithmetic."""
     import pyarrow as pa
 
+    return _poly_hashes(pa.array(canon_keys, type=pa.large_string()))
+
+
+def probe_hashes(
+    data: bytes, m: int, k: int, h1: np.ndarray, h2: np.ndarray
+) -> np.ndarray:
+    """Per-key possibly-present mask against one sidecar's bytes, given
+    precomputed :func:`hash_keys` output. Raises ValueError on a size
+    mismatch (truncated/corrupt sidecar) — callers treat that as "keep
+    the file"."""
     words = np.frombuffer(data, np.uint64)
     if len(words) * 64 != int(m):
         raise ValueError(f"bloom sidecar holds {len(words) * 64} bits, "
                          f"manifest says {m}")
-    h1, h2 = _poly_hashes(pa.array(canon_keys, type=pa.large_string()))
-    ok = np.ones(len(canon_keys), bool)
+    ok = np.ones(len(h1), bool)
     for i in range(int(k)):
         idx, bit = _bit_positions(h1, h2, i, int(m))
         ok &= (words[idx] & bit) != 0
     return ok
+
+
+def probe(data: bytes, m: int, k: int, canon_keys: list) -> np.ndarray:
+    """One-shot convenience: :func:`hash_keys` + :func:`probe_hashes`."""
+    h1, h2 = hash_keys(canon_keys)
+    return probe_hashes(data, m, k, h1, h2)
+
+
+def probe_sidecar(root: str, entry: dict, hashes) -> np.ndarray | None:
+    """THE open/validate/probe contract for one manifest entry's sidecar —
+    the single implementation both ``LakeTable.lookup`` (file skipping)
+    and ``LakeTable.validate`` (soundness audit) execute, so the audit
+    always exercises exactly what the read path does.
+
+    Returns the per-key mask, or None meaning "cannot probe — keep the
+    file": no bloom stamp, unknown algo id, ``hashes`` is None
+    (unsupported PK types), or an unreadable/truncated/corrupt sidecar.
+    ``hashes`` is a :func:`hash_keys` result shared across every file of
+    the lookup."""
+    import os
+
+    bl = entry.get("bloom")
+    if not bl or bl.get("algo") != BLOOM_ALGO or hashes is None:
+        return None
+    try:
+        with open(os.path.join(root, entry["path"] + ".bloom"), "rb") as bf:
+            data = bf.read()
+        return probe_hashes(data, bl["m"], bl["k"], hashes[0], hashes[1])
+    except (OSError, ValueError, KeyError):
+        return None

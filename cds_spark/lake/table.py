@@ -696,8 +696,11 @@ class LakeTable:
 
         from cds_spark.lake import bloom as _bloom
 
-        canon = (
-            [_bloom.canonical_key(kv) for kv in keyvals]
+        # hash the key set ONCE; every sidecar probe below is then pure
+        # bit arithmetic (a lookup touches B buckets x G generations of
+        # sidecars — rehashing per file would be O(B*G*K) driver-side)
+        hashes = (
+            _bloom.hash_keys([_bloom.canonical_key(kv) for kv in keyvals])
             if all(
                 f.dataType.typeName() in _bloom.SUPPORTED_PK_TYPES
                 for f in pk_fields
@@ -710,20 +713,10 @@ class LakeTable:
             # bucket: merge generations span the full hash-random key
             # range, so their zone maps all overlap): keep unless the
             # file's bloom excludes EVERY requested key. Conservative on
-            # any miss — no sidecar, unknown algo, unsupported PK types,
-            # unreadable/corrupt bytes all keep the file.
-            bl = entry.get("bloom")
-            if not bl or bl.get("algo") != _bloom.BLOOM_ALGO or canon is None:
-                return True
-            try:
-                with open(os.path.join(self.root, entry["path"] + ".bloom"),
-                          "rb") as bf:
-                    data = bf.read()
-                return bool(
-                    _bloom.probe(data, bl["m"], bl["k"], canon).any()
-                )
-            except (OSError, ValueError, KeyError):
-                return True
+            # any miss — probe_sidecar returns None (keep) for no sidecar,
+            # unknown algo, unsupported PK types, unreadable/corrupt bytes.
+            mask = _bloom.probe_sidecar(self.root, entry, hashes)
+            return True if mask is None else bool(mask.any())
 
         def in_range(entry: dict) -> bool:
             # zone-map file skip within the bucket: keep unless the file's
@@ -1413,12 +1406,18 @@ class LakeTable:
         # byte cap silently routes compact/merge onto the slow plan paths
         # (the exact failure mode rebucket() exists to fix) — flag it here
         # so ops sees it BEFORE throughput degrades, not after
-        by_bucket: dict[int, int] = {}
+        # keyed on (modulus, bucket): mid-rebucket the manifest holds files
+        # under TWO moduli, and bucket ids from different moduli name
+        # DIFFERENT key sets — summing them under one id would read two
+        # healthy buckets as one over-cap bucket and emit a spurious
+        # rebucket hint while a rebucket is already in progress
+        by_bucket: dict[tuple[int, int], int] = {}
         for f in files:
-            b = int(f["bucket"])
-            by_bucket[b] = by_bucket.get(b, 0) + int(f.get("bytes") or 0)
+            k = (self._file_mod(f), int(f["bucket"]))
+            by_bucket[k] = by_bucket.get(k, 0) + int(f.get("bytes") or 0)
         cap = int(self.properties.get("local_compact_max_bucket_bytes", 4 << 30))
-        over = sorted(b for b, bb in by_bucket.items() if bb > cap)
+        mid_rebucket = len({m for m, _ in by_bucket}) > 1
+        over = sorted(b for (m, b), bb in by_bucket.items() if bb > cap)
         out = {
             "version": self.version,
             "n_files": len(files),
@@ -1436,8 +1435,8 @@ class LakeTable:
             # coverage on a lookup-heavy table means "run compact"
             "bloom_files": sum(1 for f in files if f.get("bloom")),
         }
-        if over:
-            worst = max(by_bucket[b] for b in over)
+        if over and not mid_rebucket:
+            worst = max(bb for bb in by_bucket.values() if bb > cap)
             # suggest a modulus that puts the worst bucket at <= cap/2,
             # rounded up to a power of two (a power-of-two ratio keeps
             # _bucket_overlap exact during and after the migration)
@@ -1450,6 +1449,14 @@ class LakeTable:
                 f"Run rebucket({self.n_buckets * factor})."
             )
             out["rebucket_suggested_n"] = self.n_buckets * factor
+        elif over:
+            # legacy-modulus buckets can legitimately exceed the cap while
+            # their rewrite is pending; a second suggestion would fight
+            # the migration already under way
+            out["rebucket_hint"] = (
+                f"{len(over)} over-cap bucket(s), but a rebucket is in "
+                "progress (mixed moduli in manifest) — let it finish."
+            )
         return out
 
     def validate(self, buckets: Sequence[int] | None = None) -> dict:
@@ -1545,12 +1552,15 @@ class LakeTable:
                     os.path.join(self.root, f["path"])
                 ).read_row_group(0, columns=list(self.pk)).slice(0, 256)
                 canon = _bloom._canonical_array(sample, list(self.pk))
-                with open(os.path.join(self.root, f["path"] + ".bloom"),
-                          "rb") as bf:
-                    data = bf.read()
-                if canon is None or not _bloom.probe(
-                    data, bl["m"], bl["k"], canon.to_pylist()
-                ).all():
+                # the audit runs the SAME probe_sidecar contract lookup()
+                # executes; None (claimed bloom but unreadable/corrupt) is
+                # sound for reads (file kept) but flagged here as hygiene
+                mask = (
+                    None if canon is None else _bloom.probe_sidecar(
+                        self.root, f, _bloom.hash_keys(canon.to_pylist())
+                    )
+                )
+                if mask is None or not mask.all():
                     bloom_bad.append(f["path"])
             except Exception:
                 bloom_bad.append(f["path"])

@@ -673,14 +673,18 @@ def full_sync_windowed(
     # growth-stable, so they may recompute safely.)
     bounds_key = f"fullsync.{job_id}.bounds"
     stored = table.properties.get(bounds_key)
-    if "bounds" in prev:
-        bd = prev["bounds"]
+    bd = prev.get("bounds") or (json.loads(stored) if stored else None)
+    if bd is not None:
         lo, hi, numeric = bd["lo"], bd["hi"], bd["numeric"]
         span = bd["span"]
-    elif stored:
-        bd = json.loads(stored)
-        lo, hi, numeric = bd["lo"], bd["hi"], bd["numeric"]
-        span = bd["span"]
+        # n_chunks is PART of the frozen grid: chunk fences are indexed by
+        # position in THIS grid, so resuming under a different chunk count
+        # (config drift between runs) would re-interpret fenced indexes
+        # against shifted boundaries and silently skip key ranges. Frozen
+        # value wins over the argument. (Grids frozen by a pre-n_chunks
+        # version lack the field; those resumes keep the argument, same as
+        # before — the drift hazard closes for every grid frozen from now.)
+        n_chunks = int(bd.get("n_chunks", n_chunks))
     else:
         import pyspark.sql.types as _T
 
@@ -716,7 +720,8 @@ def full_sync_windowed(
             span = hi - lo + 1
         else:
             lo, hi, span = str(lo), str(hi), None
-    bounds = {"lo": lo, "hi": hi, "numeric": numeric, "span": span}
+    bounds = {"lo": lo, "hi": hi, "numeric": numeric, "span": span,
+              "n_chunks": n_chunks}
 
     # grid chunks 0..n_chunks-1 cover [lo, lo+span); tail chunk n_chunks
     # catches keys >= lo+span that arrived after the grid was frozen

@@ -184,3 +184,59 @@ def test_negative_non_integral_bounds_floor_not_truncate(spark, tmp_path):
     assert st["status"] == "FINISHED"
     got = {r["doc_id"] for r in LakeTable.load(spark, root).current().collect()}
     assert got == {-3.5, -3.2, 0.0, 2.9}
+
+
+def test_resume_with_different_n_chunks_uses_frozen_grid(spark, tmp_path):
+    """Round-5 review: n_chunks is PART of the frozen grid. A resume whose
+    caller passes a different n_chunks (config drift) must keep the frozen
+    chunk count — fences are indexed by position in the ORIGINAL grid, so
+    re-interpreting them against a coarser grid would mark unseen key
+    ranges as already synced and silently skip them (with a lost sidecar),
+    or finish instantly without syncing anything (intact sidecar,
+    next_chunk > new total_chunks)."""
+    import os
+
+    from cds_spark.lake.table import LakeTable
+
+    src = spark.range(0, 600).selectExpr(
+        "id AS doc_id", "concat('c-', id) AS val", "id AS ver"
+    )
+
+    # -- intact sidecar, drifted n_chunks ---------------------------------
+    root = str(tmp_path / "tc1")
+    sp = str(tmp_path / "sc1.json")
+    st = full_sync_windowed(
+        spark, src, root, pk=["doc_id"], version_cols=["ver"],
+        n_chunks=6, n_buckets=4, window_hours=(2, 4),
+        status_path=sp, job_id="mc", clock=FakeClock([2, 2, 2, 2, 9]),
+    )
+    assert st["status"] == "PAUSE" and st["next_chunk"] == 4
+    assert st["bounds"]["n_chunks"] == 6
+    st2 = full_sync_windowed(
+        spark, src, root, pk=["doc_id"], version_cols=["ver"],
+        n_chunks=3, n_buckets=4, window_hours=(2, 4),   # drifted: 6 -> 3
+        status_path=sp, job_id="mc", clock=FakeClock([3]),
+    )
+    assert st2["status"] == "FINISHED"
+    got = {r["doc_id"] for r in LakeTable.load(spark, root).current().collect()}
+    assert got == set(range(600))
+
+    # -- lost sidecar, drifted n_chunks: grid recovered from the table ----
+    root2 = str(tmp_path / "tc2")
+    sp2 = str(tmp_path / "sc2.json")
+    st = full_sync_windowed(
+        spark, src, root2, pk=["doc_id"], version_cols=["ver"],
+        n_chunks=6, n_buckets=4, window_hours=(2, 4),
+        status_path=sp2, job_id="mc2", clock=FakeClock([2, 2, 2, 2, 9]),
+    )
+    assert st["status"] == "PAUSE" and st["next_chunk"] == 4
+    os.remove(sp2)
+    st2 = full_sync_windowed(
+        spark, src, root2, pk=["doc_id"], version_cols=["ver"],
+        n_chunks=3, n_buckets=4, window_hours=(2, 4),   # drifted: 6 -> 3
+        status_path=sp2, job_id="mc2", clock=FakeClock([3]),
+    )
+    assert st2["status"] == "FINISHED"
+    got = {r["doc_id"]
+           for r in LakeTable.load(spark, root2).current().collect()}
+    assert got == set(range(600))

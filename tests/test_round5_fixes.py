@@ -317,3 +317,50 @@ def test_rebucket_survives_concurrent_schema_evolution(spark, tmp_path):
     assert df.count() == 2000
     assert "extra" in df.columns
     assert t2.validate()["ok"]
+
+
+def test_stats_over_cap_is_per_modulus_mid_rebucket(spark, tmp_path):
+    """Round-5 review: mid-rebucket the manifest holds files under TWO
+    moduli; summing bucket bytes by bare bucket id would add bucket b
+    (mod old) to bucket b (mod new) — two healthy buckets reading as one
+    over-cap bucket, plus a rebucket_suggested_n fighting the rebucket
+    already in progress. Accounting must key on (mod, bucket) and the
+    hint must stand down while moduli are mixed."""
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("ver", T.LongType()),
+    ])
+    root = str(tmp_path / "capmix")
+    t = LakeTable.create(
+        spark, root, schema, pk=["k"], version_cols=["ver"], n_buckets=2,
+        properties={"merge_mode": "append"},
+    )
+    t.merge(spark.range(0, 3000).selectExpr(
+        "id AS k", "concat(uuid(), uuid()) AS v", "id AS ver"))
+    per_bucket = {}
+    for f in t.manifest["files"]:
+        per_bucket[f["bucket"]] = (
+            per_bucket.get(f["bucket"], 0) + int(f["bytes"])
+        )
+    # cap chosen so every bucket is healthy under its own modulus but the
+    # cross-modulus sum of a shared bucket id would breach it
+    cap = max(per_bucket.values()) + 1
+    # enter rebucket-begin (phase 1): stamp legacy mods, flip n_buckets
+    m = t._next_manifest({"operation": "rebucket-begin",
+                          "from_buckets": 2, "to_buckets": 4})
+    for f in m["files"]:
+        f.setdefault("mod", 2)
+    m["n_buckets"] = 4
+    m["properties"]["local_compact_max_bucket_bytes"] = str(cap)
+    t._commit(m)
+    t2 = LakeTable.load(spark, root)
+    # new-modulus ingest lands alongside the legacy files
+    t2.merge(spark.range(3000, 6000).selectExpr(
+        "id AS k", "concat(uuid(), uuid()) AS v", "id AS ver"))
+    t3 = LakeTable.load(spark, root)
+    mods = {t3._file_mod(f) for f in t3.manifest["files"]}
+    assert mods == {2, 4}, "test precondition: mixed moduli present"
+    st = t3.stats()
+    assert st["n_over_cap_buckets"] == 0, st
+    assert "rebucket_suggested_n" not in st, st
