@@ -349,6 +349,29 @@ def cmd_lookup(args) -> int:
     return 0
 
 
+def cmd_page(args) -> int:
+    from cds_spark.lake.table import LakeTable
+
+    table = LakeTable.load(_spark(args), args.root)
+    after = args.after
+    if after is not None:
+        # cast the cursor through the leading-PK type so zone-map pruning
+        # compares like against like (footer stats hold native values)
+        c0 = table.pk[0]
+        f0 = next(f for f in table.schema.fields if f.name == c0)
+        t = f0.dataType.typeName()
+        if t in ("long", "integer", "short", "byte"):
+            after = int(after)
+        elif t in ("double", "float"):
+            after = float(after)
+    rows = [
+        json.loads(s)
+        for s in table.keyset_page(after, args.limit).toJSON().collect()
+    ]
+    print(json.dumps(rows, indent=2))
+    return 0
+
+
 def cmd_changes(args) -> int:
     from cds_spark.lake.table import LakeTable
 
@@ -558,6 +581,16 @@ def build_parser() -> argparse.ArgumentParser:
                          "column, or a JSON object '{\"col\": \"val\"}' for "
                          "values containing ',<col>=' sequences")
     sp.set_defaults(fn=cmd_lookup)
+
+    sp = sub.add_parser(
+        "page", help="keyset page: WHERE pk > after ORDER BY pk LIMIT n, "
+                     "zone-map file-skipped (O(page), not O(table))")
+    common(sp)
+    sp.add_argument("--after", default=None,
+                    help="cursor value on the leading PK column "
+                         "(omit for the first page)")
+    sp.add_argument("--limit", type=int, default=100)
+    sp.set_defaults(fn=cmd_page)
 
     sp = sub.add_parser(
         "changes", help="incremental change read between snapshots (CDF analog)")

@@ -735,6 +735,140 @@ class LakeTable:
         df = self.read(buckets=buckets, live_only=live_only, file_pred=in_range)
         return df.join(F.broadcast(kdf), on=pk, how="left_semi")
 
+    @staticmethod
+    def _range_overlaps(st: list, lower, upper, lower_inclusive: bool) -> bool:
+        """Conservative zone-map overlap test for one file's [min, max]
+        against a requested [lower, upper] range on the leading PK column.
+        Returns True (keep the file) on any doubt: missing bound, or a
+        bound whose Python type doesn't order against the footer-stat type
+        (footer stats are decoded to str/int/float only)."""
+        try:
+            if lower is not None:
+                if lower_inclusive:
+                    if st[1] < lower:
+                        return False
+                elif st[1] <= lower:
+                    return False
+            if upper is not None and st[0] > upper:
+                return False
+        except TypeError:
+            return True
+        return True
+
+    def scan_range(
+        self,
+        lower=None,
+        upper=None,
+        live_only: bool = True,
+        lower_inclusive: bool = True,
+    ) -> DataFrame:
+        """PK-range scan with zone-map file skipping — the ClickHouse
+        primary-index range read analog (reference keyset reads:
+        mysql2clickhouse.go:69-90 ``WHERE pk > ? ORDER BY pk LIMIT n``
+        hit the MySQL PK index; here the manifest's per-file PK bounds
+        play that role). Files are written ``sortWithinPartitions(pk)``
+        so within a bucket each file covers a tight contiguous PK slice;
+        a range touching k of F files reads k files, not F — at 100 TB a
+        cursor scan must not pay O(table) per page.
+
+        ``lower``/``upper`` bound the LEADING PK column (inclusive upper;
+        ``lower_inclusive`` selects > vs >=). Pruning is sound for LWW
+        collapse because every generation of a key carries the same PK
+        value: a file whose PK bounds exclude the range cannot hold any
+        generation of any key in the range. Files without footer stats
+        are conservatively kept."""
+        c0 = self.pk[0]
+
+        def in_range(entry: dict) -> bool:
+            st = (entry.get("stats") or {}).get(c0)
+            if not st:
+                return True
+            return self._range_overlaps(st, lower, upper, lower_inclusive)
+
+        df = self.read(live_only=live_only, file_pred=in_range)
+        # zone maps prune files; rows inside kept files still need the
+        # exact predicate. Filtering on a PK column pushes through the
+        # LWW window (it partitions by PK), so this lands at the scan.
+        if lower is not None:
+            df = df.filter(
+                F.col(c0) >= F.lit(lower)
+                if lower_inclusive
+                else F.col(c0) > F.lit(lower)
+            )
+        if upper is not None:
+            df = df.filter(F.col(c0) <= F.lit(upper))
+        return df
+
+    def keyset_page(self, after, limit: int, live_only: bool = True) -> DataFrame:
+        """Keyset-ordered page ``WHERE pk > after ORDER BY pk LIMIT n``
+        (mysql2clickhouse.go:69-90) in O(page), not O(table): zone maps
+        first drop every file entirely at-or-below the cursor, then an
+        adaptive upper cutoff bounds the read to just enough files to
+        fill the page.
+
+        Cutoff soundness: with U = max(stats.max) over a chosen file set,
+        EVERY row with pk in (after, U] lives in a file whose stats.min
+        <= U — so reading {files with min <= U} + {files without stats}
+        and keeping rows <= U yields the complete collapsed state of that
+        slice. If the slice holds < limit live rows (duplicate
+        generations / tombstones ate the estimate), the cutoff widens
+        geometrically; the last resort is the plain pruned range scan."""
+        if limit <= 0:
+            return self.scan_range(
+                lower=after, live_only=live_only, lower_inclusive=False
+            ).limit(0)
+        c0 = self.pk[0]
+        cand = [
+            f
+            for f in self.manifest["files"]
+            if self._range_overlaps(
+                ((f.get("stats") or {}).get(c0) or [None, None]),
+                after,
+                None,
+                False,
+            )
+        ]
+        with_st = sorted(
+            (f for f in cand if (f.get("stats") or {}).get(c0)),
+            key=lambda f: f["stats"][c0][0],
+        )
+        no_st = [f for f in cand if not (f.get("stats") or {}).get(c0)]
+        # rows without footer counts can't budget a cutoff; neither can a
+        # table where most files lack stats
+        budgetable = with_st and all(f.get("rows") for f in with_st)
+        # 3x: live winners per page row is at least 1 file row, but
+        # duplicate generations + tombstones inflate the raw count
+        target = 3 * limit
+        while budgetable:
+            acc, chosen = 0, 0
+            for f in with_st:
+                acc += f["rows"]
+                chosen += 1
+                if acc >= target:
+                    break
+            if chosen >= len(with_st):
+                break  # cutoff covers everything with stats: plain scan
+            upper = max(f["stats"][c0][1] for f in with_st[:chosen])
+            try:
+                picked = [f for f in with_st if not (f["stats"][c0][0] > upper)]
+            except TypeError:
+                break
+            keep = {f["path"] for f in picked} | {f["path"] for f in no_st}
+            df = self.read(
+                live_only=live_only, file_pred=lambda e: e["path"] in keep
+            ).filter(F.col(c0) <= F.lit(upper))
+            if after is not None:  # None = first page, no cursor yet
+                df = df.filter(F.col(c0) > F.lit(after))
+            page = df.orderBy(*self.pk).limit(limit)
+            if page.count() >= limit:
+                return page
+            target *= 4  # slice came up short: widen the cutoff
+        return (
+            self.scan_range(lower=after, live_only=live_only, lower_inclusive=False)
+            .orderBy(*self.pk)
+            .limit(limit)
+        )
+
     def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Incremental change read (Iceberg incremental-scan / CDF analog):
         the rows that entered the table after snapshot ``from_version`` up
@@ -1771,7 +1905,15 @@ class LakeTable:
                 ):
                     paths = [_os.path.join(root, p) for p in _json.loads(paths_j)]
                     parts = [_pq.read_table(p, use_threads=False) for p in paths]
-                    tbl = parts[0] if len(parts) == 1 else _pa.concat_tables(parts)
+                    # generations of one bucket can disagree on Arrow
+                    # nullability (spark.range batches write `not null`,
+                    # decoded CDC batches write nullable) — promote by
+                    # field name instead of requiring identical schemas
+                    tbl = (
+                        parts[0]
+                        if len(parts) == 1
+                        else _pa.concat_tables(parts, promote_options="default")
+                    )
                     tbl = tbl.select(schema_names)
                     tbl = _arrow_lww_collapse(tbl, pk, vcols, purge_tombstones)
                     n_chunks = max(

@@ -102,6 +102,21 @@ def test_cli_lookup_and_changes(spark, tmp_path, capsys):
     assert meta["out"] == delta_dir
     assert spark.read.parquet(delta_dir).count() > 0
 
+    # keyset page over the string leading-PK: first page + cursor page
+    # match the collapsed state's order
+    cur = sorted(
+        (x["repo"], x["path"]) for x in table.current().collect()
+    )
+    page1 = json.loads(_run(capsys, ["page", "--root", root, "--limit", "7"]))
+    assert [(x["repo"], x["path"]) for x in page1] == cur[:7]
+    after = page1[-1]["repo"]
+    page2 = json.loads(_run(capsys, [
+        "page", "--root", root, "--after", after, "--limit", "5",
+    ]))
+    assert [(x["repo"], x["path"]) for x in page2] == [
+        t for t in cur if t[0] > after
+    ][:5]
+
 
 def test_cli_sync_many(spark, tmp_path, capsys):
     jobs = []
