@@ -227,6 +227,45 @@ ORDER BY user_id LIMIT 25
 """
 
 
+def q_cdc_keyset_page_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same keyset page served THROUGH the lake with zone-map file
+    skipping (mysql2clickhouse.go:69-90 pages the source off MySQL's PK
+    index; `LakeTable.keyset_page` is that read over our manifest's
+    per-file PK bounds): ingest the events feed into a lake table
+    (pk=user_id, version=(ts, event_id)), compact into the pk-sorted
+    multi-chunk layout, then page `user_id > 50 LIMIT 25` reading only
+    the candidate PK slice — O(page) files, not O(table)."""
+    import tempfile
+
+    from cds_spark.lake.table import LakeTable
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    # fresh root per call: the query must be a pure function of sf_dir
+    root = tempfile.mkdtemp(prefix="cds-keyset-lake-")
+    import shutil
+
+    shutil.rmtree(root)  # LakeTable.create wants to make it itself
+    table = LakeTable.create(
+        spark, root, schema, pk=["user_id"],
+        version_cols=["ts", "event_id"], n_buckets=4,
+        # small chunks: several pk-sorted files per bucket, so the page
+        # exercises real file skipping even at test scale
+        properties={"merge_mode": "append", "target_file_bytes": 16 << 10},
+    )
+    table.merge(
+        _changes(spark, sf_dir).select("user_id", "event_id", "ts"),
+        fence=("keyset-oracle", 0),
+    )
+    table.compact(strategy="local")
+    page = table.keyset_page(after=50, limit=25)
+    return page.select("user_id", F.col("event_id").alias("last_event_id"))
+
+
 def q_cdc_json_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON payload decode (the parse stage, parse.go:109-134): extract
     props.k, aggregate per event_type.
@@ -1143,6 +1182,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_inbatch_collapse": q_cdc_inbatch_collapse,
     "cdc_pk_semi_lookup": q_cdc_pk_semi_lookup,
     "cdc_keyset_page": q_cdc_keyset_page,
+    "cdc_keyset_page_pruned": q_cdc_keyset_page_pruned,
     "cdc_json_payload_stats": q_cdc_json_payload_stats,
     "decode_debezium_mysql": q_decode_debezium_mysql,
     "decode_canal_batch": q_decode_canal_batch,
@@ -1191,6 +1231,7 @@ ORACLES: dict[str, str] = {
     "cdc_inbatch_collapse": ORACLE_INBATCH,
     "cdc_pk_semi_lookup": ORACLE_SEMI,
     "cdc_keyset_page": ORACLE_KEYSET,
+    "cdc_keyset_page_pruned": ORACLE_KEYSET,
     "cdc_json_payload_stats": ORACLE_JSON_STATS,
     "decode_debezium_mysql": ORACLE_DECODE_DEBEZIUM,
     "decode_canal_batch": ORACLE_DECODE_CANAL,
