@@ -799,6 +799,64 @@ class LakeTable:
             df = df.filter(F.col(c0) <= F.lit(upper))
         return df
 
+    @classmethod
+    def _page_file_slice(cls, files, c0: str, after, target: int):
+        """Choose a bounded manifest slice for one keyset page: drop every
+        file entirely at-or-below the cursor, then take the minimal prefix
+        (by ``stats.min`` on ``c0``) whose summed footer row counts reach
+        ``target``, and close it under U = max(stats.max of the prefix) —
+        a row with key in (after, U] sits in a file whose min <= U by
+        definition, so the closed set holds EVERY generation of every key
+        in the slice. Files without usable stats/row counts are always
+        kept (conservative). Returns ``(keep_paths, U)``, or None when no
+        bounded slice exists or it wouldn't skip anything — callers then
+        take the plain pruned range scan."""
+        cand = [
+            f
+            for f in files
+            if cls._range_overlaps(
+                ((f.get("stats") or {}).get(c0) or [None, None]),
+                after,
+                None,
+                False,
+            )
+        ]
+
+        def _bounds(f):
+            st = (f.get("stats") or {}).get(c0)
+            return st if st and st[0] is not None and st[1] is not None else None
+
+        try:
+            with_st = sorted(
+                (f for f in cand if _bounds(f)), key=lambda f: f["stats"][c0][0]
+            )
+        except TypeError:  # mixed stat types across files: no budgeting
+            return None
+        no_st = [f for f in cand if not _bounds(f)]
+        # files without footer counts can't budget a cutoff
+        if not with_st or not all(f.get("rows") for f in with_st):
+            return None
+        acc, chosen = 0, 0
+        for f in with_st:
+            acc += f["rows"]
+            chosen += 1
+            if acc >= target:
+                break
+        if chosen >= len(with_st):
+            return None  # cutoff covers everything with stats: plain scan
+        upper = max(f["stats"][c0][1] for f in with_st[:chosen])
+        try:
+            picked = [f for f in with_st if not (f["stats"][c0][0] > upper)]
+        except TypeError:
+            return None
+        if len(picked) >= len(with_st):
+            # the cutoff skips nothing (e.g. one full-range file per
+            # bucket): the bounded attempt would only add a count() job
+            # on top of the same read
+            return None
+        keep = {f["path"] for f in picked} | {f["path"] for f in no_st}
+        return keep, upper
+
     def keyset_page(self, after, limit: int, live_only: bool = True) -> DataFrame:
         """Keyset-ordered page ``WHERE pk > after ORDER BY pk LIMIT n``
         (mysql2clickhouse.go:69-90) in O(page), not O(table): zone maps
@@ -818,50 +876,34 @@ class LakeTable:
                 lower=after, live_only=live_only, lower_inclusive=False
             ).limit(0)
         c0 = self.pk[0]
-        cand = [
-            f
-            for f in self.manifest["files"]
-            if self._range_overlaps(
-                ((f.get("stats") or {}).get(c0) or [None, None]),
-                after,
-                None,
-                False,
-            )
-        ]
-        with_st = sorted(
-            (f for f in cand if (f.get("stats") or {}).get(c0)),
-            key=lambda f: f["stats"][c0][0],
-        )
-        no_st = [f for f in cand if not (f.get("stats") or {}).get(c0)]
-        # rows without footer counts can't budget a cutoff; neither can a
-        # table where most files lack stats
-        budgetable = with_st and all(f.get("rows") for f in with_st)
         # 3x: live winners per page row is at least 1 file row, but
         # duplicate generations + tombstones inflate the raw count
         target = 3 * limit
-        while budgetable:
-            acc, chosen = 0, 0
-            for f in with_st:
-                acc += f["rows"]
-                chosen += 1
-                if acc >= target:
-                    break
-            if chosen >= len(with_st):
-                break  # cutoff covers everything with stats: plain scan
-            upper = max(f["stats"][c0][1] for f in with_st[:chosen])
-            try:
-                picked = [f for f in with_st if not (f["stats"][c0][0] > upper)]
-            except TypeError:
+        prev_keep = None
+        while True:
+            sl = self._page_file_slice(self.manifest["files"], c0, after, target)
+            if sl is None:
                 break
-            keep = {f["path"] for f in picked} | {f["path"] for f in no_st}
+            keep, upper = sl
+            if keep == prev_keep:
+                # a bigger budget chose the SAME slice (one huge file
+                # dominates the row budget): re-reading it would return
+                # the same short page — keep widening instead
+                target *= 4
+                continue
+            prev_keep = keep
             df = self.read(
                 live_only=live_only, file_pred=lambda e: e["path"] in keep
             ).filter(F.col(c0) <= F.lit(upper))
             if after is not None:  # None = first page, no cursor yet
                 df = df.filter(F.col(c0) > F.lit(after))
-            page = df.orderBy(*self.pk).limit(limit)
+            # persist the (<= limit rows) page so the completeness check
+            # and the caller's action share ONE execution of the pruned
+            # read instead of paying it twice
+            page = df.orderBy(*self.pk).limit(limit).persist()
             if page.count() >= limit:
                 return page
+            page.unpersist()
             target *= 4  # slice came up short: widen the cutoff
         return (
             self.scan_range(lower=after, live_only=live_only, lower_inclusive=False)

