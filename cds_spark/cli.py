@@ -372,6 +372,33 @@ def cmd_page(args) -> int:
     return 0
 
 
+def cmd_changed_since(args) -> int:
+    from cds_spark.lake.table import LakeTable
+
+    table = LakeTable.load(_spark(args), args.root)
+    v0 = table.version_cols[0]
+    f0 = next((f for f in table.schema.fields if f.name == v0), None)
+    since = args.since
+    t = f0.dataType.typeName() if f0 is not None else "long"
+    # parse into the version col's Python domain so the driver-side
+    # zone-map compare actually prunes (a raw string vs int/us-epoch
+    # stats would just fall back to keep-all)
+    if t == "timestamp":
+        import datetime
+
+        since = datetime.datetime.fromisoformat(since)
+    elif t in ("long", "integer", "short", "byte"):
+        since = int(since)
+    elif t in ("double", "float"):
+        since = float(since)
+    rows = [
+        json.loads(s)
+        for s in table.changed_since(since).limit(args.limit).toJSON().collect()
+    ]
+    print(json.dumps(rows, indent=2))
+    return 0
+
+
 def cmd_changes(args) -> int:
     from cds_spark.lake.table import LakeTable
 
@@ -591,6 +618,17 @@ def build_parser() -> argparse.ArgumentParser:
                          "(omit for the first page)")
     sp.add_argument("--limit", type=int, default=100)
     sp.set_defaults(fn=cmd_page)
+
+    sp = sub.add_parser(
+        "changed-since", help="current state of keys changed at-or-after a "
+                              "leading-version cutoff, zone-map-pruned to "
+                              "O(recent batches)")
+    common(sp)
+    sp.add_argument("--since", required=True,
+                    help="cutoff in the leading version column's domain "
+                         "(ISO timestamp / number / string)")
+    sp.add_argument("--limit", type=int, default=100)
+    sp.set_defaults(fn=cmd_changed_since)
 
     sp = sub.add_parser(
         "changes", help="incremental change read between snapshots (CDF analog)")

@@ -62,14 +62,36 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _stat_encode(v):
+    """Canonical JSON-storable zone-map value. Temporal values encode to
+    integers (timestamp -> UTC microseconds, date -> proleptic ordinal)
+    so manifests stay JSON and comparisons stay total-ordered; anything
+    not str/int/float after encoding returns None (column gets no zone
+    map). Scan bounds MUST pass through the same encoding — the contract
+    that keeps file skipping sound for temporal columns."""
+    import datetime
+
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is None:  # parquet naive == UTC (session pinned UTC)
+            v = v.replace(tzinfo=datetime.timezone.utc)
+        return int(v.timestamp() * 1_000_000)
+    if isinstance(v, datetime.date):
+        return v.toordinal()
+    return v if isinstance(v, (str, int, float)) else None
+
+
 def _parquet_footer_stats(path: str, cols: Sequence[str]) -> tuple:
     """(row count, per-column [min, max] zone map) from ONE parquet footer
     read (Iceberg lower/upper bound stats) — the commit path calls this
     per written file, so a single ParquetFile construction matters. Files
     are written ``sortWithinPartitions(pk)`` so PK ranges are tight and
-    file-skipping on point lookups is effective. Ranges are None when any
-    requested column lacks footer stats (non-scalar type, old writer);
-    rows are None when the footer is unreadable."""
+    file-skipping on point lookups is effective. Stats are PER COLUMN: a
+    column without usable footer stats (non-scalar type, old writer) is
+    simply absent from the dict (readers treat absence as keep-the-file);
+    temporal columns encode via :func:`_stat_encode`. Rows are None when
+    the footer is unreadable."""
     try:
         import pyarrow.parquet as pq
 
@@ -81,20 +103,27 @@ def _parquet_footer_stats(path: str, cols: Sequence[str]) -> tuple:
         idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
         out: dict[str, list] = {}
         for c in cols:
+            if c not in idx:
+                continue
             lo = hi = None
+            ok = True
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(idx[c]).statistics
                 if st is None or not st.has_min_max:
-                    return rows, None
+                    ok = False
+                    break
                 mn, mx = st.min, st.max
                 if isinstance(mn, bytes):
                     mn, mx = mn.decode("utf-8", "replace"), mx.decode("utf-8", "replace")
-                if not isinstance(mn, (str, int, float)):
-                    return rows, None
+                mn, mx = _stat_encode(mn), _stat_encode(mx)
+                if mn is None or mx is None:
+                    ok = False
+                    break
                 lo = mn if lo is None or mn < lo else lo
                 hi = mx if hi is None or mx > hi else hi
-            out[c] = [lo, hi]
-        return rows, out
+            if ok and lo is not None:
+                out[c] = [lo, hi]
+        return rows, (out or None)
     except Exception:
         return rows, None
 
@@ -193,6 +222,7 @@ def _arrow_lww_collapse(tbl, pk: list, vcols: list, drop_tombstones: bool):
 def _arrow_write_bucket(
     tbl, txn_dir: str, txn_rel: str, b: int, n_chunks: int,
     pk: list, sid: int, mod: int, pk_types: list | None = None,
+    stats_cols: list | None = None,
 ) -> list[dict]:
     """Write a collapsed bucket table as 1..n_chunks parquet files under
     the txn dir, returning manifest entries with row counts + PK zone maps
@@ -223,10 +253,16 @@ def _arrow_write_bucket(
         # cluster multiplies that a wider single box does not
         _pq.write_table(chunk, fpath, compression="zstd")
         stats = {}
-        for c in pk:
-            mm = _pc.min_max(chunk.column(c)).as_py()
-            lo, hi = mm["min"], mm["max"]
-            if isinstance(lo, (str, int, float)) and isinstance(hi, (str, int, float)):
+        names = set(chunk.schema.names)
+        for c in stats_cols or pk:
+            if c not in names:
+                continue
+            try:
+                mm = _pc.min_max(chunk.column(c)).as_py()
+                lo, hi = _stat_encode(mm["min"]), _stat_encode(mm["max"])
+            except Exception:  # un-minmax-able type: no zone map
+                continue
+            if lo is not None and hi is not None:
                 stats[c] = [lo, hi]
         bloom = None
         if pk_types is not None:
@@ -449,6 +485,18 @@ class LakeTable:
     @property
     def n_buckets(self) -> int:
         return self.manifest["n_buckets"]
+
+    def _stats_cols(self) -> list[str]:
+        """Columns carrying per-file zone maps: the PK plus any columns in
+        the ``stats_cols`` table property (ClickHouse minmax skip-index
+        analog — set it on columns queries range over, e.g. the event
+        timestamp; CDC batches are naturally time-clustered, so those zone
+        maps prune time-window reads even though files are PK-sorted)."""
+        extra = self.properties.get("stats_cols") or []
+        if isinstance(extra, str):
+            extra = [c.strip() for c in extra.split(",") if c.strip()]
+        have = {f.name for f in self.schema.fields} | {OFFSET}
+        return list(self.pk) + [c for c in extra if c in have and c not in self.pk]
 
     @property
     def properties(self) -> dict:
@@ -718,6 +766,11 @@ class LakeTable:
             mask = _bloom.probe_sidecar(self.root, entry, hashes)
             return True if mask is None else bool(mask.any())
 
+        # stats store _stat_encode'd values (temporal -> int): encode the
+        # key values identically or the range check would compare
+        # datetime-vs-int and crash
+        keyvals_enc = [tuple(_stat_encode(v) for v in kv) for kv in keyvals]
+
         def in_range(entry: dict) -> bool:
             # zone-map file skip within the bucket: keep unless the file's
             # PK bounds exclude EVERY requested key (conservative: files
@@ -725,10 +778,14 @@ class LakeTable:
             st = entry.get("stats")
             if not st or any(c not in st for c in pk):
                 return bloom_hit(entry)
-            if not any(
-                all(st[c][0] <= kv[i] <= st[c][1] for i, c in enumerate(pk))
-                for kv in keyvals
-            ):
+            try:
+                excluded = not any(
+                    all(st[c][0] <= kv[i] <= st[c][1] for i, c in enumerate(pk))
+                    for kv in keyvals_enc
+                )
+            except TypeError:  # unencodable/mismatched key type: keep
+                return bloom_hit(entry)
+            if excluded:
                 return False
             return bloom_hit(entry)
 
@@ -778,12 +835,15 @@ class LakeTable:
         generation of any key in the range. Files without footer stats
         are conservatively kept."""
         c0 = self.pk[0]
+        # stats store _stat_encode'd values (temporal -> int): bounds
+        # must compare in the same domain
+        lo_e, hi_e = _stat_encode(lower), _stat_encode(upper)
 
         def in_range(entry: dict) -> bool:
             st = (entry.get("stats") or {}).get(c0)
             if not st:
                 return True
-            return self._range_overlaps(st, lower, upper, lower_inclusive)
+            return self._range_overlaps(st, lo_e, hi_e, lower_inclusive)
 
         df = self.read(live_only=live_only, file_pred=in_range)
         # zone maps prune files; rows inside kept files still need the
@@ -799,6 +859,87 @@ class LakeTable:
             df = df.filter(F.col(c0) <= F.lit(upper))
         return df
 
+    def scan_where(
+        self, column: str, lower=None, upper=None, live_only: bool = True
+    ) -> DataFrame:
+        """Range scan on an arbitrary zone-mapped column — the ClickHouse
+        ``minmax`` skip-index analog (set the ``stats_cols`` table property
+        to stamp per-file bounds for non-PK columns at write time). The
+        big win is time-window reads: CDC batch files are naturally
+        time-clustered (a micro-batch holds one time slice), so
+        ``scan_where("ts", since, until)`` reads O(window) files even at
+        100 TB, although files are PK-sorted, not ts-sorted.
+
+        LWW soundness is the crux and differs from :meth:`scan_range`:
+        generations of ONE key differ in non-PK values, so skipping a file
+        by a non-PK bound could hide a NEWER generation and resurrect an
+        old row as the current state. Therefore pruning applies only to
+        files in fully-collapsed buckets (single generation per key —
+        skipping a non-matching row there is exactly what the predicate
+        asks); every file of a dirty bucket is read, and mid-rebucket
+        (mixed moduli) disables pruning entirely. ``compact()`` is what
+        makes windows cheap — same as ClickHouse, where skip indexes are
+        built per (merged) part."""
+        lo_e, hi_e = _stat_encode(lower), _stat_encode(upper)
+        mods = {self._file_mod(f) for f in self.manifest["files"]}
+        mixed = len(mods) > 1
+        dirty = self._dirty_buckets()
+
+        def pred(entry: dict) -> bool:
+            if mixed or int(entry["bucket"]) in dirty:
+                return True
+            st = (entry.get("stats") or {}).get(column)
+            if not st:
+                return True
+            return self._range_overlaps(st, lo_e, hi_e, True)
+
+        df = self.read(live_only=live_only, file_pred=pred)
+        if lower is not None:
+            df = df.filter(F.col(column) >= F.lit(lower))
+        if upper is not None:
+            df = df.filter(F.col(column) <= F.lit(upper))
+        return df
+
+    def changed_since(self, since, live_only: bool = True) -> DataFrame:
+        """Current state of the keys changed at-or-after ``since`` (a value
+        of the LEADING version column) in O(recent batches), not O(table)
+        — the serving-side complement of :meth:`changes`, and the read
+        that makes a 100 TB CDC lake tail-able: each micro-batch's files
+        span a narrow slice of the (monotone-ish) version domain, so a
+        zone-map lower bound on the version column prunes all history.
+
+        Unlike :meth:`scan_where`, this prune is sound on DIRTY buckets,
+        across generations, because the predicate column IS the LWW
+        ordering's leading key: the winner of any key carries the key's
+        maximum version, so a file whose version zone-max < ``since``
+        holds only (a) losers of keys whose winner is in a kept file, and
+        (b) complete keys whose winner also fails the predicate — neither
+        can change the result. Rows TIED at the winner's leading version
+        live in files whose zone-max >= since, so tiebreak columns stay
+        exact. Requires the leading version column in ``stats_cols`` (or
+        PK) for pruning to bite; without stats every file is kept.
+
+        Reference analog: consumers tail the Kafka topic for recency; this
+        serves the same question from the table itself
+        (cmd/rtu/handle/insert.go versioning, mysql2clickhouse.go:202-207)."""
+        v0 = self.version_cols[0]
+        since_e = _stat_encode(since)
+
+        def pred(entry: dict) -> bool:
+            st = (entry.get("stats") or {}).get(v0)
+            if not st:
+                return True
+            try:
+                return not (st[1] < since_e)
+            except TypeError:
+                return True
+
+        # v0 can be the _offset meta column: read with meta, filter, then
+        # project back to the logical columns
+        df = self.read(live_only=live_only, with_meta=True, file_pred=pred)
+        df = df.filter(F.col(v0) >= F.lit(since))
+        return df.drop(IS_DELETE, OFFSET) if v0 != OFFSET else df.drop(IS_DELETE)
+
     @classmethod
     def _page_file_slice(cls, files, c0: str, after, target: int):
         """Choose a bounded manifest slice for one keyset page: drop every
@@ -810,7 +951,9 @@ class LakeTable:
         in the slice. Files without usable stats/row counts are always
         kept (conservative). Returns ``(keep_paths, U)``, or None when no
         bounded slice exists or it wouldn't skip anything — callers then
-        take the plain pruned range scan."""
+        take the plain pruned range scan. ``after`` is compared against
+        stats, so it is encoded into the stats domain here."""
+        after = _stat_encode(after) if after is not None else None
         cand = [
             f
             for f in files
@@ -1079,7 +1222,7 @@ class LakeTable:
             # ONE footer read: rows drive maintenance planning without a
             # data scan; pk-sorted files make the ranges tight so lookup()
             # skips files inside the owning bucket too
-            _frows, _franges = _parquet_footer_stats(fpath, self.pk)
+            _frows, _franges = _parquet_footer_stats(fpath, self._stats_cols())
             return {
                 "path": os.path.join(txn_rel, bdir, fname),
                 "bucket": b,
@@ -1518,6 +1661,7 @@ class LakeTable:
         root = self.root
         pk, vcols = list(self.pk), list(self.version_cols)
         pk_types = self._pk_type_names(phys)
+        stats_cols = self._stats_cols()
         schema_names = [f.name for f in phys.fields]
         sid_i = self.manifest["schema_id"]
         n_buckets = self.n_buckets
@@ -1556,7 +1700,7 @@ class LakeTable:
             )
             entries = _arrow_write_bucket(
                 tbl, txn_dir, txn_rel, b, n_chunks, pk, sid_i, n_buckets,
-                pk_types,
+                pk_types, stats_cols,
             )
             return _pa.table(
                 {"entry": _pa.array([_json.dumps(e) for e in entries],
@@ -1919,6 +2063,7 @@ class LakeTable:
         root = self.root
         pk, vcols = list(self.pk), list(self.version_cols)
         pk_types = self._pk_type_names(phys)
+        stats_cols = self._stats_cols()
         schema_names = [f.name for f in phys.fields]
         n_buckets = self.n_buckets
         sid_i = self.manifest["schema_id"]
@@ -1964,7 +2109,7 @@ class LakeTable:
                     )
                     out.extend(_arrow_write_bucket(
                         tbl, txn_dir, txn_rel, int(b), n_chunks,
-                        pk, sid_i, n_buckets, pk_types,
+                        pk, sid_i, n_buckets, pk_types, stats_cols,
                     ))
                 yield _pd.DataFrame(
                     {"entry": [_json.dumps(e) for e in out]}

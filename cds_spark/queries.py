@@ -266,6 +266,61 @@ def q_cdc_keyset_page_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return page.select("user_id", F.col("event_id").alias("last_event_id"))
 
 
+def q_cdc_changed_since(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current state of the keys changed at-or-after a cutoff, served by
+    `LakeTable.changed_since` in O(recent batches): the events feed is
+    ingested in FOUR time-ordered micro-batches (each file spans a narrow
+    ts slice, the natural CDC layout), no compact, and the zone-map lower
+    bound on the leading version column prunes the history files while
+    LWW winners stay exact across the pruned generations. Reference
+    analog: consumers tail the Kafka topic for recency
+    (cmd/rtu/handle/insert.go versioning); here the table itself answers."""
+    import shutil
+    import tempfile
+
+    from cds_spark.lake.table import LakeTable
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    root = tempfile.mkdtemp(prefix="cds-chsince-lake-")
+    shutil.rmtree(root)
+    table = LakeTable.create(
+        spark, root, schema, pk=["user_id"],
+        version_cols=["ts", "event_id"], n_buckets=4,
+        properties={"merge_mode": "append", "stats_cols": ["ts"]},
+    )
+    ch = _changes(spark, sf_dir).select("user_id", "event_id", "ts")
+    # four ts-ordered micro-batches over the events' Jan-2024 span
+    import datetime
+
+    cuts = [datetime.datetime(2024, 1, d) for d in (8, 16, 24)]
+    slices = [
+        ch.filter(F.col("ts") < cuts[0]),
+        ch.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        ch.filter((F.col("ts") >= cuts[1]) & (F.col("ts") < cuts[2])),
+        ch.filter(F.col("ts") >= cuts[2]),
+    ]
+    for i, s in enumerate(slices):
+        table.merge(s, fence=("chsince-oracle", i))
+    since = datetime.datetime(2024, 1, 20)
+    return table.changed_since(since).select(
+        "user_id", F.col("event_id").alias("last_event_id"), "ts"
+    )
+
+
+ORACLE_CHANGED_SINCE = """
+SELECT user_id, event_id AS last_event_id, ts
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND ts >= TIMESTAMP '2024-01-20 00:00:00'
+"""
+
+
 def q_cdc_json_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON payload decode (the parse stage, parse.go:109-134): extract
     props.k, aggregate per event_type.
@@ -1183,6 +1238,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_pk_semi_lookup": q_cdc_pk_semi_lookup,
     "cdc_keyset_page": q_cdc_keyset_page,
     "cdc_keyset_page_pruned": q_cdc_keyset_page_pruned,
+    "cdc_changed_since": q_cdc_changed_since,
     "cdc_json_payload_stats": q_cdc_json_payload_stats,
     "decode_debezium_mysql": q_decode_debezium_mysql,
     "decode_canal_batch": q_decode_canal_batch,
@@ -1232,6 +1288,7 @@ ORACLES: dict[str, str] = {
     "cdc_pk_semi_lookup": ORACLE_SEMI,
     "cdc_keyset_page": ORACLE_KEYSET,
     "cdc_keyset_page_pruned": ORACLE_KEYSET,
+    "cdc_changed_since": ORACLE_CHANGED_SINCE,
     "cdc_json_payload_stats": ORACLE_JSON_STATS,
     "decode_debezium_mysql": ORACLE_DECODE_DEBEZIUM,
     "decode_canal_batch": ORACLE_DECODE_CANAL,

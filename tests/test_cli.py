@@ -117,6 +117,19 @@ def test_cli_lookup_and_changes(spark, tmp_path, capsys):
         t for t in cur if t[0] > after
     ][:5]
 
+    # changed-since over the string leading version (commit): equals the
+    # full-read filter
+    commits = sorted(x["commit"] for x in table.current().collect())
+    cut = commits[len(commits) // 2]
+    ch = json.loads(_run(capsys, [
+        "changed-since", "--root", root, "--since", cut, "--limit", "1000",
+    ]))
+    exp = sorted(
+        (x["repo"], x["path"]) for x in table.current().collect()
+        if x["commit"] >= cut
+    )
+    assert sorted((x["repo"], x["path"]) for x in ch) == exp
+
 
 def test_cli_sync_many(spark, tmp_path, capsys):
     jobs = []
