@@ -10,10 +10,14 @@ Layout::
 
     <root>/
       _meta/
-        version-00000001.json      # immutable snapshot manifest
+        version-00000001.json      # snapshot manifest: FULL or DELTA record
         _current                   # advisory pointer (version files rule)
       data/
         txn-00000001/_bucket=NNN/part-*.parquet
+
+Manifests form a delta log (Delta-Lake-style JSON actions + periodic full
+checkpoints): steady-state micro-batch commits write O(changed files)
+metadata, not O(table) — see MANIFEST_CHECKPOINT_EVERY below.
 
 Key properties (scale rationale):
 
@@ -132,6 +136,19 @@ from cds_spark.schema import is_widening
 
 META_DIR = "_meta"
 DATA_DIR = "data"
+
+# Delta-log manifests: a streaming ingest commits thousands of micro-batches,
+# and rewriting the FULL file list per commit is O(total files) metadata I/O —
+# at 10^10 events (~1M live files, ~500B of JSON stats per entry) that is
+# ~500MB written per 30k-event micro-batch, the classic metadata bottleneck
+# Iceberg solves with manifest lists and Delta with its JSON log + parquet
+# checkpoints. Here version-N.json is either a FULL snapshot or a DELTA
+# {"delta_of": N-1, "files_add": [entries], "files_remove": [paths]} carrying
+# every small top-level field verbatim; readers materialize by walking back to
+# the nearest full snapshot (chain bounded by the checkpoint interval below).
+# The exclusive-create CAS is untouched — a delta file claims its version
+# exactly like a full one, so every concurrency property is unchanged.
+MANIFEST_CHECKPOINT_EVERY = 25  # override per table: property manifest.checkpoint_every
 IS_DELETE = "_is_delete"
 OFFSET = "_offset"
 
@@ -374,6 +391,47 @@ class LakeTable:
     def _meta_path(root: str, version: int) -> str:
         return os.path.join(root, META_DIR, f"version-{version:08d}.json")
 
+    @classmethod
+    def _read_raw(cls, root: str, version: int) -> dict:
+        with open(cls._meta_path(root, version)) as f:
+            return json.load(f)
+
+    @classmethod
+    def _read_manifest(cls, root: str, version: int) -> dict:
+        """Materialize snapshot ``version``: walk delta manifests back to the
+        nearest full snapshot, then apply ``files_remove``/``files_add``
+        forward. An add REPLACES any same-path entry (rebucket's modulus
+        stamp rewrites entries in place logically). The chain is bounded by
+        the checkpoint interval. One retry: ``expire_snapshots`` may
+        concurrently rewrite the oldest retained delta as an equivalent full
+        snapshot while deleting its base."""
+        for attempt in (0, 1):
+            try:
+                chain: list[dict] = []
+                m = cls._read_raw(root, version)
+                while "delta_of" in m:
+                    chain.append(m)
+                    m = cls._read_raw(root, m["delta_of"])
+                if not chain:
+                    return m
+                files = m["files"]
+                for d in reversed(chain):
+                    gone = set(d["files_remove"])
+                    gone.update(e["path"] for e in d["files_add"])
+                    files = [f for f in files if f["path"] not in gone]
+                    files.extend(d["files_add"])
+                out = {
+                    k: v
+                    for k, v in chain[0].items()
+                    if k not in ("delta_of", "files_add", "files_remove")
+                }
+                out["files"] = files
+                return out
+            except FileNotFoundError:
+                if attempt:
+                    raise
+        raise AssertionError("unreachable")
+
     @staticmethod
     def _write_manifest(root: str, manifest: dict, exclusive: bool = False) -> None:
         """Write version-N.json. With ``exclusive`` the CREATION of the
@@ -462,8 +520,7 @@ class LakeTable:
     def load(cls, spark: SparkSession, root: str, version: int | None = None) -> "LakeTable":
         root = os.path.abspath(root)
         v = version if version is not None else cls._current_version(root)
-        with open(cls._meta_path(root, v)) as f:
-            return cls(spark, root, json.load(f))
+        return cls(spark, root, cls._read_manifest(root, v))
 
     @classmethod
     def exists(cls, root: str) -> bool:
@@ -528,11 +585,68 @@ class LakeTable:
 
     # ----------------------------------------------------------- commits
     def _next_manifest(self, summary: dict) -> dict:
-        m = json.loads(json.dumps(self.manifest))  # deep copy
+        """Structured copy, NOT a JSON round-trip: the old deep copy was
+        O(total files) CPU per commit, the in-driver twin of the full-list
+        serialization the delta log removes. File ENTRY dicts are shared
+        between snapshots and are immutable once committed — an operation
+        that changes an entry must build a new dict (see rebucket's modulus
+        stamp), never mutate in place."""
+        m = dict(self.manifest)
+        m["files"] = list(self.manifest["files"])
+        m["properties"] = dict(self.manifest["properties"])
+        m["schemas"] = dict(self.manifest["schemas"])
+        m["pk"] = list(self.manifest["pk"])
+        m["version_cols"] = list(self.manifest["version_cols"])
         m["version"] = self.manifest["version"] + 1
         m["summary"] = summary
         m["created_unix"] = time.time()
         return m
+
+    def _delta_or_full(self, nxt: dict) -> dict:
+        """Choose the serialized form of the next snapshot: a delta record
+        when the commit touches a minority of the file list and the chain
+        since the last full snapshot is short, else a full checkpoint.
+        Stamps ``delta_chain`` on ``nxt`` (kept in memory and carried by
+        every serialized form) so the policy needs no directory walk."""
+        base = self.manifest
+        try:
+            every = int(
+                base.get("properties", {}).get(
+                    "manifest.checkpoint_every", MANIFEST_CHECKPOINT_EVERY
+                )
+            )
+        except (TypeError, ValueError):
+            every = MANIFEST_CHECKPOINT_EVERY
+        chain = int(base.get("delta_chain", 0))
+        nxt["delta_chain"] = 0
+        if nxt["version"] != base["version"] + 1 or chain + 1 >= max(1, every):
+            return nxt
+        base_by_path = {f["path"]: f for f in base["files"]}
+        adds, new_paths = [], set()
+        for f in nxt["files"]:
+            new_paths.add(f["path"])
+            b = base_by_path.get(f["path"])
+            if b is None or (b is not f and b != f):
+                adds.append(f)
+        removes = [p for p in base_by_path if p not in new_paths]
+        if 2 * (len(adds) + len(removes)) >= max(1, len(nxt["files"])):
+            return nxt
+        # the delta must reconstruct nxt["files"] EXACTLY (content and
+        # order) — verify by replaying the apply rule; any surprise means
+        # a caller built the list in an unexpected shape: checkpoint.
+        gone = set(removes)
+        gone.update(e["path"] for e in adds)
+        rebuilt = [f for f in base["files"] if f["path"] not in gone] + adds
+        if len(rebuilt) != len(nxt["files"]) or any(
+            (a is not b and a != b) for a, b in zip(rebuilt, nxt["files"])
+        ):
+            return nxt
+        nxt["delta_chain"] = chain + 1
+        delta = {k: v for k, v in nxt.items() if k != "files"}
+        delta["delta_of"] = base["version"]
+        delta["files_add"] = adds
+        delta["files_remove"] = removes
+        return delta
 
     def _commit(self, manifest: dict) -> None:
         # optimistic CAS: cheap early abort on a stale snapshot, then the
@@ -543,12 +657,13 @@ class LakeTable:
                 f"concurrent commit detected: loaded v{self.manifest['version']}, "
                 f"current is v{cur}"
             )
-        self._write_manifest(self.root, manifest, exclusive=True)
+        self._write_manifest(self.root, self._delta_or_full(manifest), exclusive=True)
         self.manifest = manifest
 
     def _reload_latest(self) -> None:
-        with open(self._meta_path(self.root, self._current_version(self.root))) as fh:
-            self.manifest = json.load(fh)
+        self.manifest = self._read_manifest(
+            self.root, self._current_version(self.root)
+        )
 
     def set_properties(self, props: dict) -> None:
         m = self._next_manifest({"operation": "set_properties"})
@@ -1099,14 +1214,13 @@ class LakeTable:
         out_cols = [f.name for f in phys.fields] + ["_change_version"]
 
         def _manifest(v: int) -> dict:
-            path = self._meta_path(self.root, v)
-            if not os.path.exists(path):
+            try:
+                return self._read_manifest(self.root, v)
+            except FileNotFoundError:
                 raise ValueError(
                     f"snapshot v{v} expired — incremental read needs the "
                     f"retained window (expire_snapshots keep_last)"
-                )
-            with open(path) as f:
-                return json.load(f)
+                ) from None
 
         deltas: list[DataFrame] = []
         prev = _manifest(from_version)
@@ -2326,8 +2440,11 @@ class LakeTable:
                 "from_buckets": self.n_buckets, "to_buckets": new_n,
             })
             old_n = self.n_buckets
-            for f in m["files"]:
-                f.setdefault("mod", old_n)
+            # entries are shared across in-memory snapshots (see
+            # _next_manifest) — stamp the modulus on NEW dicts, never in place
+            m["files"] = [
+                f if "mod" in f else {**f, "mod": old_n} for f in m["files"]
+            ]
             m["n_buckets"] = new_n
             try:
                 self._commit(m)
@@ -2601,9 +2718,24 @@ class LakeTable:
         if not expired:
             return {"expired_snapshots": 0, "deleted_files": 0}
 
+        # the oldest retained snapshot may be a delta whose base is about to
+        # be expired — rewrite it as the equivalent FULL snapshot first so
+        # the retained chain stays self-contained. Content-identical to its
+        # materialized form, so concurrent readers see the same snapshot
+        # either way (os.replace is atomic); _read_manifest retries once to
+        # cover a reader caught mid-swap. _current is NOT touched.
+        oldest = min(retained)
+        if "delta_of" in self._read_raw(self.root, oldest):
+            full = self._read_manifest(self.root, oldest)
+            full["delta_chain"] = 0
+            path = self._meta_path(self.root, oldest)
+            tmp = path + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(full, f)
+            os.replace(tmp, path)
+
         def _paths(v: int) -> set[str]:
-            with open(self._meta_path(self.root, v)) as f:
-                return {e["path"] for e in json.load(f)["files"]}
+            return {e["path"] for e in self._read_manifest(self.root, v)["files"]}
 
         keep = set()
         for v in retained:
@@ -2650,9 +2782,15 @@ class LakeTable:
         for n in os.listdir(meta):
             if n.startswith("version-") and n.endswith(".json"):
                 with open(os.path.join(meta, n)) as f:
-                    for e in json.load(f)["files"]:
-                        # path = data/<txn>/_bucket=N/file.parquet
-                        referenced.add(e["path"].split(os.sep)[1])
+                    m = json.load(f)
+                # every path referenced by ANY retained snapshot appears in
+                # some full snapshot's "files" or some delta's "files_add"
+                # (a surviving path's introducing add is only expired after
+                # expire_snapshots rewrites the oldest retained as full) —
+                # no materialization needed here
+                for e in m["files"] if "files" in m else m["files_add"]:
+                    # path = data/<txn>/_bucket=N/file.parquet
+                    referenced.add(e["path"].split(os.sep)[1])
         data = os.path.join(self.root, DATA_DIR)
         removed = 0
         now = time.time()
