@@ -1868,6 +1868,10 @@ class LakeTable:
             # (built by the local compact/merge tasks) vs total — low
             # coverage on a lookup-heavy table means "run compact"
             "bloom_files": sum(1 for f in files if f.get("bloom")),
+            # delta-log health: snapshots retained, bytes of manifest JSON
+            # on disk, and the live chain length since the last full
+            # checkpoint (bounded by manifest.checkpoint_every)
+            "manifest_log": self._manifest_log_stats(),
         }
         if over and not mid_rebucket:
             worst = max(bb for bb in by_bucket.values() if bb > cap)
@@ -1892,6 +1896,74 @@ class LakeTable:
                 "progress (mixed moduli in manifest) — let it finish."
             )
         return out
+
+    def _manifest_log_stats(self) -> dict:
+        meta = os.path.join(self.root, META_DIR)
+        names = [
+            n for n in os.listdir(meta)
+            if n.startswith("version-") and n.endswith(".json")
+        ]
+        try:
+            every = int(
+                self.properties.get(
+                    "manifest.checkpoint_every", MANIFEST_CHECKPOINT_EVERY
+                )
+            )
+        except (TypeError, ValueError):
+            every = MANIFEST_CHECKPOINT_EVERY
+        return {
+            "snapshots": len(names),
+            "meta_bytes": sum(
+                os.path.getsize(os.path.join(meta, n)) for n in names
+            ),
+            "delta_chain": int(self.manifest.get("delta_chain", 0)),
+            "checkpoint_every": every,
+        }
+
+    def _audit_manifest_log(self) -> list[int]:
+        """Versions on disk that cannot materialize: a delta whose base
+        chain is broken (missing version file) or cyclic/mis-pointed.
+        Healthy tables return [] — expire_snapshots rewrites the oldest
+        retained delta as full before deleting its bases precisely so this
+        never fires."""
+        meta = os.path.join(self.root, META_DIR)
+        raws: dict[int, dict] = {}
+        for n in os.listdir(meta):
+            if n.startswith("version-") and n.endswith(".json"):
+                try:
+                    v = int(n[len("version-"):-len(".json")])
+                except ValueError:
+                    continue
+                with open(os.path.join(meta, n)) as f:
+                    raws[v] = json.load(f)
+        bad: list[int] = []
+        ok_memo: dict[int, bool] = {}
+
+        def _ok(v: int) -> bool:
+            seen = []
+            x = v
+            while True:
+                if x in ok_memo:
+                    res = ok_memo[x]
+                    break
+                m = raws.get(x)
+                if m is None or x in seen:
+                    res = False
+                    break
+                if "delta_of" not in m:
+                    res = True
+                    break
+                seen.append(x)
+                x = m["delta_of"]
+            for s in seen:
+                ok_memo[s] = res
+            ok_memo[v] = res
+            return res
+
+        for v in sorted(raws):
+            if not _ok(v):
+                bad.append(v)
+        return bad
 
     def validate(self, buckets: Sequence[int] | None = None) -> dict:
         """Invariant audit (ops tool, O(selected buckets) scan):
@@ -1998,6 +2070,8 @@ class LakeTable:
                     bloom_bad.append(f["path"])
             except Exception:
                 bloom_bad.append(f["path"])
+        # delta-log chain audit: every retained snapshot must materialize
+        unmat = self._audit_manifest_log()
         return {
             "misplaced_rows": int(misplaced),
             "null_pk_rows": int(null_pk),
@@ -2005,9 +2079,10 @@ class LakeTable:
             "dirty_buckets": len(dirty),
             "bloom_files_checked": checked,
             "bloom_violations": bloom_bad[:32],
+            "manifest_unmaterializable": unmat[:32],
             "ok": (
                 misplaced == 0 and null_pk == 0 and dup_collapsed == 0
-                and not bloom_bad
+                and not bloom_bad and not unmat
             ),
         }
 

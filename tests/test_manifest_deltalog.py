@@ -193,3 +193,28 @@ def test_changes_and_cas_are_unchanged_by_delta_serialization(spark, tmp_path):
     from cds_spark.lake.table import CommitConflict
     with _pytest.raises(CommitConflict):
         stale._commit(stale._next_manifest({"operation": "set_properties"}))
+
+
+def test_stats_and_validate_audit_the_delta_log(spark, tmp_path):
+    """stats() surfaces manifest-log health; validate() flags a broken
+    delta chain (missing base version file) and passes on a healthy one."""
+    root = tmp_path / "t"
+    t = _mk(spark, root, merge_mode="append")
+    for i in range(5):
+        t.merge(_batch(spark, i * 200, (i + 1) * 200), fence=("j", i))
+    st = t.stats()
+    ml = st["manifest_log"]
+    assert ml["snapshots"] == t.version
+    assert ml["meta_bytes"] > 0
+    assert ml["delta_chain"] == int(t.manifest.get("delta_chain", 0))
+    v = t.validate()
+    assert v["ok"] and v["manifest_unmaterializable"] == []
+    # break the chain: remove a mid-chain base that a later delta points at
+    victim = next(
+        v_ for v_ in range(2, t.version)
+        if "delta_of" in _raw(root, v_ + 1) and _raw(root, v_ + 1)["delta_of"] == v_
+    )
+    os.remove(os.path.join(str(root), META_DIR, f"version-{victim:08d}.json"))
+    v2 = t.validate()
+    assert not v2["ok"]
+    assert victim + 1 in v2["manifest_unmaterializable"]
