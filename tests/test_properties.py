@@ -328,3 +328,83 @@ def test_page_file_slice_is_sound(spans, after, target):
             assert f["path"] in keep, (f, after, upper, sorted(keep))
     # and the slice must actually skip something, else it returned None
     assert len(keep) < len(files)
+
+
+@settings(max_examples=12, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_deltalog_random_commit_sequences_materialize_exactly(
+    tmp_path_factory, seed
+):
+    """Model-based check of the delta-log manifest (table.py delta/full
+    serialization): drive a random sequence of commits (arbitrary add /
+    remove / replace of file entries), snapshot expiry, gzip-vs-plain
+    checkpoints and random checkpoint intervals against a trivial model
+    (the exact file list handed to each commit). Every retained version
+    must materialize to byte-equal file lists through any mix of full
+    snapshots, delta chains and expire's oldest-retained rewrite.
+
+    Pure metadata — no SparkSession touched — so this runs hundreds of
+    commits in milliseconds."""
+    from cds_spark.lake.table import LakeTable
+
+    rng = random.Random(seed)
+    root = tmp_path_factory.mktemp("dlog") / "t"
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("v", T.LongType()),
+    ])
+    t = LakeTable.create(
+        None, str(root), schema, pk=["k"], version_cols=["v"], n_buckets=4,
+        properties={
+            "manifest.checkpoint_every": rng.choice([2, 3, 5, 25]),
+            "manifest.gzip_min_bytes": rng.choice([1, 1 << 20]),
+        },
+    )
+    expected: dict[int, list] = {t.version: []}
+    fresh = 0
+
+    def entry():
+        nonlocal fresh
+        fresh += 1
+        return {
+            "path": f"data/txn-{fresh:06d}/_bucket={fresh % 4}/part-0.parquet",
+            "rows": rng.randint(1, 10_000),
+            "bucket": fresh % 4,
+            "mod": 4,
+        }
+
+    for _ in range(rng.randint(8, 40)):
+        op = rng.random()
+        if op < 0.70 or len(expected) < 2:
+            cur = expected[t.version]
+            kept = [e for e in cur if rng.random() > 0.25]
+            # replacements: same path, new stats dict (rebucket/compact shape)
+            kept = [
+                ({**e, "rows": rng.randint(1, 10_000)}
+                 if rng.random() < 0.2 else e)
+                for e in kept
+            ]
+            # a replaced entry must move to the add-side of a delta; the
+            # writer verifies its own apply rule and checkpoints if the
+            # rebuilt order would diverge — either form must read back equal
+            new = kept + [entry() for _ in range(rng.randint(0, 4))]
+            m = t._next_manifest({"operation": "prop-test"})
+            m["files"] = new
+            t._commit(m)
+            expected[t.version] = new
+        elif op < 0.85:
+            k = rng.randint(1, 3)
+            t.expire_snapshots(keep_last=k)
+            cutoff = t.version - k
+            expected = {v: fl for v, fl in expected.items() if v > cutoff}
+        else:
+            t = LakeTable.load(None, str(root))
+        # the live view must always match the model
+        got = LakeTable._read_manifest(str(root), t.version)["files"]
+        assert got == expected[t.version], f"seed={seed} live view diverged"
+
+    for v, files in expected.items():
+        m = LakeTable._read_manifest(str(root), v)
+        assert m["files"] == files, f"seed={seed} v{v} diverged"
+        assert m["version"] == v
+        assert m["pk"] == ["k"] and m["n_buckets"] == 4
