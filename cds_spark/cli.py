@@ -446,6 +446,38 @@ def cmd_update(args) -> int:
     return 0
 
 
+def cmd_alter(args) -> int:
+    """DDL executor surface (galaxy's ALTER provisioning analog, but
+    applied to the lake table): add / widen / drop are each a metadata-only
+    CAS commit — no data rewrite; ordering is adds, widens, drops."""
+    from cds_spark.lake.table import LakeTable
+
+    t = LakeTable.load(_spark(args), args.root)
+    ops = []
+    for spec in args.add or []:
+        fields = parse_schema(spec)
+        t.alter_add_columns(list(fields.fields))
+        ops.append({"add": [f.name for f in fields.fields]})
+    for spec in args.widen or []:
+        name, _, tn = spec.partition(":")
+        if not name or tn.lower() not in _TYPES:
+            raise SystemExit(f"bad --widen {spec!r}; types: {sorted(_TYPES)}")
+        t.alter_widen_column(name, _TYPES[tn.lower()])
+        ops.append({"widen": spec})
+    for name in args.drop or []:
+        try:
+            t.alter_drop_column(name)
+        except (ValueError, KeyError) as e:
+            raise SystemExit(f"--drop {name!r}: {e}")
+        ops.append({"drop": name})
+    if not ops:
+        raise SystemExit("alter: nothing to do (--add / --widen / --drop)")
+    print(json.dumps({"root": t.root, "version": t.version,
+                      "schema_id": t.manifest["schema_id"], "ops": ops,
+                      "columns": [f.name for f in t.schema.fields]}))
+    return 0
+
+
 def cmd_validate(args) -> int:
     from cds_spark.lake.table import LakeTable
 
@@ -662,6 +694,18 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--set", action="append", required=True,
                     help="repeatable: col=SQL-expression (RHS sees OLD values)")
     sp.set_defaults(fn=cmd_update)
+
+    sp = sub.add_parser(
+        "alter", help="DDL: add / widen / drop columns "
+                      "(each a metadata-only commit, no data rewrite)")
+    common(sp)
+    sp.add_argument("--add", action="append",
+                    help="repeatable: name:type[,name:type...]")
+    sp.add_argument("--widen", action="append", help="repeatable: name:type")
+    sp.add_argument("--drop", action="append", help="repeatable: column name "
+                    "(PK / version columns refused; re-add reads NULL for "
+                    "pre-drop rows, never the old bytes)")
+    sp.set_defaults(fn=cmd_alter)
 
     sp = sub.add_parser(
         "validate", help="audit table invariants: bucket placement, PK "

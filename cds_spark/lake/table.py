@@ -721,7 +721,8 @@ class LakeTable:
             return
         new_schema = T.StructType(list(cur.fields) + list(new_fields))
         self._register_schema(new_schema, {"operation": "add_columns",
-                                           "columns": [f.name for f in new_fields]})
+                                           "columns": [f.name for f in new_fields]},
+                              stamp_added=[f.name for f in new_fields])
 
     def alter_widen_column(self, name: str, to_type: T.DataType) -> None:
         """Type widening (Int->Long->Double) — clickhousetypeconv.go:55-105."""
@@ -743,11 +744,47 @@ class LakeTable:
         self._register_schema(T.StructType(fields),
                               {"operation": "widen", "column": name, "to": to_type.typeName()})
 
-    def _register_schema(self, new_schema: T.StructType, summary: dict) -> None:
+    def alter_drop_column(self, name: str) -> None:
+        """ALTER TABLE DROP COLUMN (metadata-only, O(1) like ClickHouse's
+        lazy column drop): old files keep the bytes, reads project the
+        column away immediately, and the next compact of each bucket drops
+        it physically. PK / version columns cannot be dropped (they define
+        row identity and LWW order for data already written).
+
+        Re-adding the same name later yields NULL for rows written before
+        the re-add — NOT the old values (ClickHouse drop-then-add
+        semantics): ``column_added_at`` records the schema generation each
+        column was (re-)added at and ``_read_entries`` NULL-fills files
+        from older generations even when their physical schema carries the
+        name."""
+        if name in self.pk:
+            raise ValueError(f"cannot drop primary-key column {name!r}")
+        if name in self.version_cols:
+            raise ValueError(f"cannot drop version column {name!r}")
+        cur = self.schema
+        if name not in {f.name for f in cur.fields}:
+            raise KeyError(name)
+        fields = [f for f in cur.fields if f.name != name]
+        self._register_schema(T.StructType(fields),
+                              {"operation": "drop_column", "column": name})
+
+    def _register_schema(
+        self, new_schema: T.StructType, summary: dict,
+        stamp_added: Sequence[str] | None = None,
+    ) -> None:
         m = self._next_manifest(summary)
         sid = max(int(k) for k in m["schemas"]) + 1
         m["schemas"][str(sid)] = new_schema.jsonValue()
         m["schema_id"] = sid
+        if stamp_added:
+            # record the generation each column was (re-)added at: files
+            # written under an OLDER schema_id must read this column as
+            # NULL even if their physical schema carries the same name
+            # (drop + re-add must not resurrect dropped values)
+            m["column_added_at"] = {
+                **m.get("column_added_at", {}),
+                **{c: sid for c in stamp_added},
+            }
         self._commit(m)
 
     # ------------------------------------------------------------- read
@@ -788,13 +825,19 @@ class LakeTable:
             by_schema.setdefault(str(f["schema_id"]), []).append(
                 os.path.join(self.root, f["path"])
             )
+        added_at = self.manifest.get("column_added_at", {})
         parts = []
         for sid, paths in by_schema.items():
             file_schema = _physical(T.StructType.fromJson(self.manifest["schemas"][sid]))
             part = self.spark.read.schema(file_schema).parquet(*paths)
             have = {f.name for f in file_schema.fields}
             sel = [
-                (F.col(f.name).cast(f.dataType) if f.name in have
+                (F.col(f.name).cast(f.dataType)
+                 # a file only carries a column's CURRENT values if it was
+                 # written at or after the column's (re-)add generation —
+                 # older same-named bytes belong to a since-dropped column
+                 # and must read as NULL (see alter_drop_column)
+                 if f.name in have and int(sid) >= int(added_at.get(f.name, 0))
                  else F.lit(None).cast(f.dataType)).alias(f.name)
                 for f in phys_cur.fields
             ]

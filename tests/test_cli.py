@@ -195,3 +195,29 @@ def test_parse_key_spec():
     # numbers pass through in canonical decimal form
     assert parse_key_spec('{"repo": 3, "path": "p"}', pk) == {
         "repo": "3", "path": "p"}
+
+
+def test_cli_alter_add_widen_drop(spark, tmp_path, capsys):
+    """DDL executor CLI: add, widen and drop are metadata-only commits;
+    dropped-column reads vanish immediately; protected columns refused."""
+    import pytest
+    root = str(tmp_path / "repos")
+    _run(capsys, [
+        "create-table", "--root", root,
+        "--schema", "repo:string,path:string,commit:string,lang:string,content:string",
+        "--pk", "repo,path", "--version-cols", "commit,_offset", "--buckets", "4",
+    ])
+    out = json.loads(_run(capsys, [
+        "alter", "--root", root,
+        "--add", "stars:int", "--widen", "stars:long", "--drop", "lang",
+    ]))
+    assert out["columns"] == ["repo", "path", "commit", "content", "stars"]
+    assert out["ops"] == [{"add": ["stars"]}, {"widen": "stars:long"},
+                          {"drop": "lang"}]
+    t = LakeTable.load(spark, root)
+    assert [f.dataType.typeName() for f in t.schema.fields
+            if f.name == "stars"] == ["long"]
+    with pytest.raises(SystemExit):
+        main(["alter", "--root", root, "--drop", "repo"])   # PK protected
+    with pytest.raises(SystemExit):
+        main(["alter", "--root", root])                     # nothing to do

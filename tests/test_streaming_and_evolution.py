@@ -1323,3 +1323,76 @@ def test_upsert_local_merge_matches_plan_merge(spark, tmp_path):
             assert any("-merge" in f["path"] for f in t2.manifest["files"]), \
                 "local merge path was not taken"
     assert states["plan"] == states["local"]
+
+
+def _mk_drop_table(spark, tmp_path):
+    import pyspark.sql.types as T
+    schema = T.StructType([
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("ver", T.LongType()),
+    ])
+    t = LakeTable.create(
+        spark, str(tmp_path / "drops"), schema, pk=["repo", "path"],
+        version_cols=["ver"], n_buckets=4, properties={"merge_mode": "upsert"},
+    )
+    df = spark.createDataFrame(
+        [("r1", "a", "go", "x", 1), ("r1", "b", "py", "y", 1)], schema)
+    t.merge(df, fence=("j", 0))
+    return t, schema
+
+
+def test_alter_drop_column_projects_away_immediately(spark, tmp_path):
+    """DROP COLUMN is metadata-only (ClickHouse lazy-drop analog): reads
+    lose the column at once, data files are untouched until compact, PK /
+    version columns are protected, and time travel to a pre-drop snapshot
+    still shows the values."""
+    t, _ = _mk_drop_table(spark, tmp_path)
+    pre_drop_version = t.version
+    t.alter_drop_column("lang")
+    assert "lang" not in t.current().columns
+    assert t.current().count() == 2
+    with pytest.raises(ValueError):
+        t.alter_drop_column("repo")     # PK
+    with pytest.raises(ValueError):
+        t.alter_drop_column("ver")      # version col
+    with pytest.raises(KeyError):
+        t.alter_drop_column("nope")
+    old = LakeTable.load(spark, t.root, version=pre_drop_version)
+    assert {r.lang for r in old.current().collect()} == {"go", "py"}
+    # the drop commit touched zero files: O(1) metadata, eligible as a delta
+    assert t.manifest["files"] == old.manifest["files"]
+
+
+def test_drop_then_readd_reads_null_not_old_values(spark, tmp_path):
+    """Re-adding a dropped column must yield NULL for rows written before
+    the re-add (ClickHouse drop-then-add semantics), never resurrect the
+    old bytes still sitting in pre-drop parquet files; rows written after
+    the re-add carry their values; compact makes the NULLs physical."""
+    import pyspark.sql.types as T
+    t, schema = _mk_drop_table(spark, tmp_path)
+    t.alter_drop_column("lang")
+    t.alter_add_columns([T.StructField("lang", T.StringType(), True)])
+    cur = {(r.repo, r.path): r.lang for r in t.current().collect()}
+    assert cur == {("r1", "a"): None, ("r1", "b"): None}
+    # post-re-add write: a new key and an LWW update of an old key
+    df2 = spark.createDataFrame(
+        [("r2", "a", "rust", "z", 2), ("r1", "a", "zig", "x2", 2)], schema)
+    t.merge(df2, fence=("j", 1))
+    want = {("r1", "a"): "zig", ("r1", "b"): None, ("r2", "a"): "rust"}
+    got = {(r.repo, r.path): r.lang for r in t.current().collect()}
+    assert got == want
+    # compact rewrites every bucket to the current schema generation;
+    # results identical and the old-generation bytes are gone
+    t.compact()
+    got2 = {(r.repo, r.path): r.lang for r in t.current().collect()}
+    assert got2 == want
+    sid = str(t.manifest["schema_id"])
+    assert all(str(f["schema_id"]) == sid for f in t.manifest["files"])
+    # physically re-read one rewritten file without the manifest: the
+    # column exists (current schema) and old values did not leak back
+    got3 = {(r.repo, r.path): r.lang
+            for r in LakeTable.load(spark, t.root).current().collect()}
+    assert got3 == want
