@@ -446,6 +446,18 @@ def cmd_update(args) -> int:
     return 0
 
 
+def cmd_dedup_sync(args) -> int:
+    """One incremental near-dup maintenance tick (O(changed docs))."""
+    from cds_spark.operators.incdedup import dedup_sync
+
+    res = dedup_sync(
+        _spark(args), args.src_root, args.root, args.job_id,
+        text_col=args.text_col, n_buckets=args.buckets,
+    )
+    print(json.dumps({"root": args.root, **res}))
+    return 0
+
+
 def cmd_alter(args) -> int:
     """DDL executor surface (galaxy's ALTER provisioning analog, but
     applied to the lake table): add / widen / drop are each a metadata-only
@@ -694,6 +706,18 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--set", action="append", required=True,
                     help="repeatable: col=SQL-expression (RHS sees OLD values)")
     sp.set_defaults(fn=cmd_update)
+
+    sp = sub.add_parser(
+        "dedup-sync", help="incremental near-dup maintenance: tail a doc "
+                           "table's snapshots, MinHash only the changed "
+                           "docs, upsert <root>/sigs + <root>/pairs")
+    common(sp)
+    sp.add_argument("--src-root", required=True, help="source doc lake table")
+    sp.add_argument("--job-id", required=True)
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--buckets", type=int, default=None,
+                    help="bucket count if this run creates the sig/pair tables")
+    sp.set_defaults(fn=cmd_dedup_sync)
 
     sp = sub.add_parser(
         "alter", help="DDL: add / widen / drop columns "

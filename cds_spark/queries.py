@@ -855,6 +855,62 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(load(spark, sf_dir, "documents"))
 
 
+def q_dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup maintenance (operators/incdedup.dedup_sync):
+    the corpus arrives as TWO CDC increments into a lake table — the first
+    delivers 60% of the docs, a slice of them with PLACEHOLDER text
+    (reversed), plus a synthetic doc; the second delivers the rest,
+    re-delivers the placeholder slice with its true text (update ->
+    signature change -> pair invalidation + re-discovery) and deletes the
+    synthetic doc. After two O(delta) dedup ticks, live_pairs() must equal
+    a batch MinHash-LSH run over the full documents table — which is
+    exactly what the DuckDB oracle (MINHASH_LSH_SQL) computes, oblivious
+    to the incremental history."""
+    import os
+    import shutil
+    import tempfile
+
+    from cds_spark.lake.table import LakeTable
+    from cds_spark.operators.incdedup import dedup_sync, live_pairs
+    from pyspark.sql import types as T
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ver", T.LongType()),
+    ])
+    root = tempfile.mkdtemp(prefix="cds-incdd-src-")
+    dst = tempfile.mkdtemp(prefix="cds-incdd-dd-")
+    shutil.rmtree(root)
+    shutil.rmtree(dst)
+    src = LakeTable.create(
+        spark, root, schema, pk=["doc_id"], version_cols=["ver"],
+        n_buckets=4, properties={"merge_mode": "upsert"})
+    part = F.pmod(F.xxhash64("doc_id"), F.lit(10))
+    b1 = (docs.filter(part < 6)
+          .select("doc_id",
+                  F.when(part == 0, F.reverse(F.col("text")))
+                   .otherwise(F.col("text")).alias("text"))
+          .withColumn("ver", F.lit(1).cast("long"))
+          .unionByName(spark.createDataFrame(
+              [(-1, "synthetic doc deleted by the second increment", 1)],
+              schema)))
+    src.merge(b1, fence=("incdd", 1))
+    dedup_sync(spark, src.root, dst, "incdd-job")
+    src = LakeTable.load(spark, src.root)
+    b2 = (docs.filter((part >= 6) | (part == 0))
+          .withColumn("ver", F.lit(2).cast("long"))
+          .withColumn("_is_delete", F.lit(False))
+          .unionByName(spark.createDataFrame([(-1, None, 2)], schema)
+                       .withColumn("_is_delete", F.lit(True))))
+    src.merge(b2, fence=("incdd", 2))
+    dedup_sync(spark, src.root, dst, "incdd-job")
+    return live_pairs(
+        LakeTable.load(spark, os.path.join(dst, "sigs")),
+        LakeTable.load(spark, os.path.join(dst, "pairs")))
+
+
 def q_dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the minhash-LSH near-dup pair graph:
     (doc_id, cluster_id = min doc_id of the component). The dedup step a
@@ -1253,6 +1309,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_orders_per_customer": q_top_orders_per_customer,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_minhash_lsh": q_minhash_lsh,
+    "dedup_incremental_pairs": q_dedup_incremental_pairs,
     "dedup_near_clusters": q_dedup_near_clusters,
     "dedup_decontaminate": q_decontaminate,
     "text_pii_scrub": q_pii_scrub,
@@ -1310,6 +1367,10 @@ def _training_oracles() -> dict[str, str]:
     return {
         "dedup_ngram_jaccard": textdedup.NGRAM_JACCARD_SQL,
         "dedup_minhash_lsh": textdedup.MINHASH_LSH_SQL,
+        # the incremental run converges to the batch result by construction
+        # (same hash family / bands / threshold); the oracle is the SAME
+        # batch SQL, blind to the add/update/delete history
+        "dedup_incremental_pairs": textdedup.MINHASH_LSH_SQL,
         "dedup_near_clusters": textdedup.near_dup_clusters_sql(),
         "dedup_decontaminate": textdedup.DECONTAMINATE_SQL,
         "dedup_simhash_signatures": textdedup.SIMHASH_SIG_SQL,

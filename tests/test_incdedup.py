@@ -1,0 +1,152 @@
+"""Incremental near-dup maintenance (operators/incdedup.py): discovery via
+O(delta) increments must equal a batch MinHash-LSH run over the final live
+corpus — through adds, text updates (pair invalidation + re-discovery) and
+deletes — and the cursor/fence discipline must make re-runs no-ops.
+"""
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+import pytest
+
+from cds_spark.lake.table import LakeTable
+from cds_spark.operators.incdedup import dedup_sync, live_pairs
+from cds_spark.operators.textdedup import minhash_lsh_pairs
+
+DOC_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("ver", T.LongType()),
+])
+
+BASE_A = ("the quick brown fox jumps over the lazy dog while reading spark "
+          "plans and tuning shuffle partitions for a copy on write merge ")
+BASE_B = ("iceberg manifests carry zone maps and bloom filter sidecars so "
+          "point lookups skip every unrelated data file in the bucket ")
+
+
+def _mk_src(spark, tmp_path):
+    return LakeTable.create(
+        spark, str(tmp_path / "docs"), DOC_SCHEMA, pk=["doc_id"],
+        version_cols=["ver"], n_buckets=4,
+        properties={"merge_mode": "upsert"},
+    )
+
+
+def _rows(spark, rows, deletes=()):
+    df = spark.createDataFrame(rows, DOC_SCHEMA).withColumn(
+        "_is_delete", F.lit(False))
+    if deletes:
+        dels = spark.createDataFrame(
+            [(d, None, v) for d, v in deletes], DOC_SCHEMA
+        ).withColumn("_is_delete", F.lit(True))
+        df = df.unionByName(dels)
+    return df
+
+
+def _batch(src):
+    docs = src.current().select("doc_id", "text")
+    return {(r.doc_a, r.doc_b): r.jaccard
+            for r in minhash_lsh_pairs(docs).collect()}
+
+
+def _live(spark, dst):
+    s = LakeTable.load(spark, str(dst / "sigs"))
+    p = LakeTable.load(spark, str(dst / "pairs"))
+    return {(r.doc_a, r.doc_b): r.jaccard
+            for r in live_pairs(s, p).collect()}
+
+
+def test_incremental_dedup_equals_batch_through_add_update_delete(
+    spark, tmp_path
+):
+    src = _mk_src(spark, tmp_path)
+    dst = tmp_path / "dd"
+
+    # ---- tick 1: bootstrap. d1~d2 near-dup; d3, d5 singles
+    src.merge(_rows(spark, [
+        ("d1", BASE_A + "alpha", 1),
+        ("d2", BASE_A + "beta", 1),
+        ("d3", BASE_B + "gamma", 1),
+        ("d5", "totally unrelated tiny text about nothing in particular", 1),
+    ]), fence=("ing", 1))
+    res = dedup_sync(spark, src.root, str(dst), "dd-job")
+    assert not res["skipped"]
+    want = _batch(src)
+    assert ("d1", "d2") in want          # the corpus really has a near-dup
+    assert _live(spark, dst) == want
+
+    # ---- tick 2: add d4 (near-dup of d3), update d2 away from d1
+    # (invalidates the d1-d2 pair), delete d5
+    src = LakeTable.load(spark, src.root)
+    src.merge(_rows(spark, [
+        ("d4", BASE_B + "delta tail", 2),
+        ("d2", "rewritten completely: this text no longer resembles d1 at "
+               "all and talks about watermarks in structured streaming", 2),
+    ], deletes=[("d5", 2)]), fence=("ing", 2))
+    res = dedup_sync(spark, src.root, str(dst), "dd-job")
+    assert not res["skipped"] and res["from"] > 0
+    want = _batch(src)
+    assert ("d3", "d4") in want          # discovered incrementally
+    assert ("d1", "d2") not in want      # broken by the update
+    assert _live(spark, dst) == want
+
+    # ---- tick 3: nothing changed -> fence-skipped no-op
+    res = dedup_sync(spark, src.root, str(dst), "dd-job")
+    assert res["skipped"]
+    assert _live(spark, dst) == want
+
+
+def test_incremental_rediscovery_after_update_back(spark, tmp_path):
+    """An update that breaks a pair then an update that re-forms it: the
+    pair must disappear and come back with fresh signature digests."""
+    src = _mk_src(spark, tmp_path)
+    dst = tmp_path / "dd"
+    src.merge(_rows(spark, [
+        ("a", BASE_A + "one", 1), ("b", BASE_A + "two", 1)]), fence=("i", 1))
+    dedup_sync(spark, src.root, str(dst), "j")
+    assert ("a", "b") in _live(spark, dst)
+
+    src = LakeTable.load(spark, src.root)
+    src.merge(_rows(spark, [("b", "entirely different words now", 2)]),
+              fence=("i", 2))
+    dedup_sync(spark, src.root, str(dst), "j")
+    assert _live(spark, dst) == _batch(src) and ("a", "b") not in _live(spark, dst)
+
+    src = LakeTable.load(spark, src.root)
+    src.merge(_rows(spark, [("b", BASE_A + "three", 3)]), fence=("i", 3))
+    dedup_sync(spark, src.root, str(dst), "j")
+    live = _live(spark, dst)
+    assert ("a", "b") in live
+    assert live == _batch(src)
+
+
+def test_dedup_sync_guards(spark, tmp_path):
+    src = LakeTable.create(
+        spark, str(tmp_path / "multi"), T.StructType([
+            T.StructField("k1", T.StringType()),
+            T.StructField("k2", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ver", T.LongType()),
+        ]), pk=["k1", "k2"], version_cols=["ver"], n_buckets=2)
+    with pytest.raises(ValueError):
+        dedup_sync(spark, src.root, str(tmp_path / "dd"), "j")
+
+
+def test_cli_dedup_sync(spark, tmp_path, capsys):
+    import json
+
+    from cds_spark.cli import main
+
+    src = _mk_src(spark, tmp_path)
+    src.merge(_rows(spark, [
+        ("x", BASE_A + "one", 1), ("y", BASE_A + "two", 1)]), fence=("i", 1))
+    dd = str(tmp_path / "dd")
+    rc = main(["dedup-sync", "--root", dd, "--src-root", src.root,
+               "--job-id", "c"])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert rc == 0 and not out["skipped"] and out["pairs_written"] >= 1
+    rc = main(["dedup-sync", "--root", dd, "--src-root", src.root,
+               "--job-id", "c"])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert rc == 0 and out["skipped"]
+    assert ("x", "y") in _live(spark, tmp_path / "dd")
