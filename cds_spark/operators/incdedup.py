@@ -65,10 +65,21 @@ from cds_spark.operators.textdedup import (
     shingles,
 )
 
-def _sig_schema(id_type: T.DataType) -> T.StructType:
-    """Doc identity inherits the source PK's type (string, long, ...)."""
+#: composite-PK identity separator (ASCII unit separator — cannot occur in
+#: the reference corpus's path/repo strings; collisions would only merge
+#: two docs' signatures, never corrupt the source table)
+UNIT_SEP = "\x1f"
+
+
+def _sig_schema(id_type: T.DataType, pk_fields) -> T.StructType:
+    """Doc identity inherits a single source PK's type; composite PKs use
+    a string concat identity. The source PK columns ride along (prefixed
+    ``k_``) so candidate partners can be point-fetched through the source
+    table's bucket-pruned lookup() without re-deriving keys from the
+    identity string."""
     return T.StructType([
         T.StructField("doc_id", id_type, False),
+        *[T.StructField(f"k_{f.name}", f.dataType, True) for f in pk_fields],
         T.StructField("sig_md5", T.StringType(), True),
         T.StructField("bands", T.ArrayType(T.StringType()), True),
         T.StructField("ver", T.LongType(), True),
@@ -142,19 +153,24 @@ def dedup_sync(
     counts. See module docstring for the crash/idempotence argument."""
     t0 = time.time()
     src = LakeTable.load(spark, src_root)
-    if len(src.pk) != 1:
-        raise ValueError(
-            f"dedup_sync needs a single-column PK doc identity; {src_root} "
-            f"has pk={src.pk} (concat a surrogate id column upstream)")
-    id_col = src.pk[0]
+    pk = list(src.pk)
+    pk_fields = [next(f for f in src.schema.fields if f.name == c) for c in pk]
+    if len(pk) == 1:
+        id_type = pk_fields[0].dataType
+        identity = F.col(pk[0])
+    else:
+        # composite identity: deterministic string concat (repo::path shape)
+        id_type = T.StringType()
+        identity = F.concat_ws(
+            UNIT_SEP, *[F.col(c).cast("string") for c in pk])
+    kcols = [f"k_{c}" for c in pk]
     sigs_root = os.path.join(dst_root, "sigs")
     pairs_root = os.path.join(dst_root, "pairs")
 
-    id_type = next(f.dataType for f in src.schema.fields if f.name == id_col)
     if not LakeTable.exists(sigs_root):
         nb = n_buckets or src.n_buckets
         sigs = LakeTable.create(
-            spark, sigs_root, _sig_schema(id_type), pk=["doc_id"],
+            spark, sigs_root, _sig_schema(id_type, pk_fields), pk=["doc_id"],
             version_cols=["ver"], n_buckets=nb,
             properties={"merge_mode": "upsert"})
         pairs = LakeTable.create(
@@ -175,32 +191,37 @@ def dedup_sync(
     if from_v >= v2:
         return {"applied": 0, "from": from_v, "to": v2, "skipped": True}
 
+    key_sel = [F.col(c).alias(f"k_{c}") for c in pk]
     if from_v == 0:
         # bootstrap: the full live corpus is the delta (tombstones carry
         # no signature, so they are irrelevant to a fresh sigs table)
         delta = (src.current()
-                 .select(F.col(id_col).alias("doc_id"),
+                 .select(identity.alias("doc_id"), *key_sel,
                          F.col(text_col).alias("text"))
                  .withColumn(IS_DELETE, F.lit(False)))
     else:
         ch = src.changes(from_v, v2)
         vcols = ["_change_version"] + [
             c for c in list(src.version_cols) + [OFFSET] if c in ch.columns]
-        ch = lww_collapse(ch, [id_col], vcols)
-        delta = ch.select(F.col(id_col).alias("doc_id"),
+        ch = lww_collapse(ch, pk, vcols)
+        delta = ch.select(identity.alias("doc_id"), *key_sel,
                           F.col(text_col).alias("text"),
                           F.coalesce(F.col(IS_DELETE), F.lit(False))
                            .alias(IS_DELETE))
 
     delta = delta.persist()
-    ups = delta.filter(~F.col(IS_DELETE)).select("doc_id", "text").persist()
-    new_sigs = _sig_rows(ups).persist()
+    ups = delta.filter(~F.col(IS_DELETE)).select(
+        "doc_id", *kcols, "text").persist()
+    new_sigs = (_sig_rows(ups.select("doc_id", "text"))
+                .join(ups.select("doc_id", *kcols), "doc_id")
+                .select("doc_id", *kcols, "sig_md5", "bands")
+                .persist())
 
     # post-state signature view: current sigs minus every delta key, plus
     # the new signatures — exactly what the sigs table will hold after the
     # merge below, so candidate generation matches a batch run on v2 state
     delta_keys = delta.select("doc_id").distinct()
-    post = (sigs.current().select("doc_id", "sig_md5", "bands")
+    post = (sigs.current().select("doc_id", *kcols, "sig_md5", "bands")
             .join(delta_keys, "doc_id", "left_anti")
             .unionByName(new_sigs))
 
@@ -220,14 +241,17 @@ def dedup_sync(
     )
 
     # exact verify on current texts: delta docs carry theirs; candidate
-    # partners outside the delta are point-fetched bucket-pruned
+    # partners outside the delta are point-fetched bucket-pruned (their
+    # source PK tuples ride in the signature rows, so no key parsing)
     cand_ids = (cand.select(F.col("doc_a").alias("doc_id"))
                 .union(cand.select("doc_b")).distinct())
     need = cand_ids.join(ups.select("doc_id"), "doc_id", "left_anti")
-    fetched = (src.lookup(need.withColumnRenamed("doc_id", id_col))
-               .select(F.col(id_col).alias("doc_id"),
+    need_keys = need.join(post, "doc_id").select(
+        *[F.col(f"k_{c}").alias(c) for c in pk])
+    fetched = (src.lookup(need_keys)
+               .select(identity.alias("doc_id"),
                        F.col(text_col).alias("text")))
-    ss = _ssets(ups.unionByName(fetched))
+    ss = _ssets(ups.select("doc_id", "text").unionByName(fetched))
     inter = F.size(F.array_intersect("sa", "sb")).cast("double")
     union = (F.size("sa") + F.size("sb")).cast("double") - inter
     new_pairs = (
@@ -252,7 +276,7 @@ def dedup_sync(
         .withColumn(IS_DELETE, F.lit(False))
         .unionByName(
             delta.filter(F.col(IS_DELETE)).select(
-                "doc_id",
+                "doc_id", *kcols,
                 F.lit(None).cast("string").alias("sig_md5"),
                 F.lit(None).cast(T.ArrayType(T.StringType())).alias("bands"),
                 F.lit(v2).cast("long").alias("ver"),

@@ -120,16 +120,42 @@ def test_incremental_rediscovery_after_update_back(spark, tmp_path):
     assert live == _batch(src)
 
 
-def test_dedup_sync_guards(spark, tmp_path):
+def test_dedup_sync_composite_pk(spark, tmp_path):
+    """A (repo, path)-keyed table — the flagship CDC schema — dedups with
+    a concat identity; partner texts are fetched through src.lookup using
+    the PK tuples carried in the signature rows."""
+    from cds_spark.operators.incdedup import UNIT_SEP
+
+    schema = T.StructType([
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ver", T.LongType()),
+    ])
     src = LakeTable.create(
-        spark, str(tmp_path / "multi"), T.StructType([
-            T.StructField("k1", T.StringType()),
-            T.StructField("k2", T.StringType()),
-            T.StructField("text", T.StringType()),
-            T.StructField("ver", T.LongType()),
-        ]), pk=["k1", "k2"], version_cols=["ver"], n_buckets=2)
-    with pytest.raises(ValueError):
-        dedup_sync(spark, src.root, str(tmp_path / "dd"), "j")
+        spark, str(tmp_path / "multi"), schema, pk=["repo", "path"],
+        version_cols=["ver"], n_buckets=4,
+        properties={"merge_mode": "upsert"})
+    src.merge(spark.createDataFrame([
+        ("r1", "a.py", BASE_A + "one", 1),
+        ("r2", "b.py", BASE_A + "two", 1),
+        ("r1", "c.py", "nothing like the others at all", 1),
+    ], schema), fence=("i", 1))
+    dst = tmp_path / "dd"
+    dedup_sync(spark, src.root, str(dst), "j")
+    # second increment: the near-dup partner arrives later, found via the
+    # delta-vs-corpus band join + lookup fetch of the r1/a.py text
+    src = LakeTable.load(spark, src.root)
+    src.merge(spark.createDataFrame(
+        [("r3", "d.py", BASE_A + "three", 2)], schema), fence=("i", 2))
+    dedup_sync(spark, src.root, str(dst), "j")
+    live = _live(spark, dst)
+    docs = src.current().select(
+        F.concat_ws(UNIT_SEP, "repo", "path").alias("doc_id"), "text")
+    want = {(r.doc_a, r.doc_b): r.jaccard
+            for r in minhash_lsh_pairs(docs).collect()}
+    assert live == want
+    assert any("r3" in a or "r3" in b for a, b in live)
 
 
 def test_cli_dedup_sync(spark, tmp_path, capsys):
