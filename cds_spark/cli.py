@@ -454,6 +454,10 @@ def cmd_dedup_sync(args) -> int:
         _spark(args), args.src_root, args.root, args.job_id,
         text_col=args.text_col, n_buckets=args.buckets,
     )
+    if args.prune_stale:
+        from cds_spark.operators.incdedup import prune_stale_pairs
+
+        res = {**res, **prune_stale_pairs(_spark(args), args.root)}
     print(json.dumps({"root": args.root, **res}))
     return 0
 
@@ -717,6 +721,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--text-col", default="text")
     sp.add_argument("--buckets", type=int, default=None,
                     help="bucket count if this run creates the sig/pair tables")
+    sp.add_argument("--prune-stale", action="store_true",
+                    help="after the tick, rewrite the pairs table down to "
+                         "the live-valid rows (discovery-log compaction)")
     sp.set_defaults(fn=cmd_dedup_sync)
 
     sp = sub.add_parser(

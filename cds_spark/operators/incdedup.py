@@ -139,6 +139,34 @@ def live_pairs(sigs: LakeTable, pairs: LakeTable) -> DataFrame:
     )
 
 
+def prune_stale_pairs(spark: SparkSession, dst_root: str) -> dict:
+    """Physically drop discovery rows invalidated by later updates or
+    deletes: rewrite the pairs table to exactly the live-valid rows (their
+    stored digests intact). The discovery-log analog of compact() — stale
+    rows are bounded by the corpus update rate between prunes, and
+    :func:`live_pairs` output is identical before and after (test-pinned).
+    O(pairs table) scan; a scheduled maintenance call, never required for
+    correctness. Safe against concurrent ticks via the manifest CAS."""
+    sigs = LakeTable.load(spark, os.path.join(dst_root, "sigs"))
+    pairs = LakeTable.load(spark, os.path.join(dst_root, "pairs"))
+    before = pairs.current().count()
+    s = sigs.current().select("doc_id", "sig_md5")
+    live = (
+        pairs.current()
+        .join(s.select(F.col("doc_id").alias("doc_a"),
+                       F.col("sig_md5").alias("_ca")), "doc_a")
+        .join(s.select(F.col("doc_id").alias("doc_b"),
+                       F.col("sig_md5").alias("_cb")), "doc_b")
+        .filter((F.col("sig_a") == F.col("_ca"))
+                & (F.col("sig_b") == F.col("_cb")))
+        .select(*[f.name for f in pairs.schema.fields])
+    )
+    pairs.overwrite(live)
+    after = LakeTable.load(spark, pairs.root).current().count()
+    return {"pairs_before": before, "pairs_after": after,
+            "pruned": before - after}
+
+
 def dedup_sync(
     spark: SparkSession,
     src_root: str,

@@ -84,6 +84,14 @@ class JobSpec:
     #: maintenance tick (0 = keep all history / time travel; opt-in
     #: because expiry trades time travel for disk)
     expire_keep_last: int = 0
+    #: in-loop incremental near-dup maintenance: every N committed batches
+    #: run operators.incdedup.dedup_sync against THIS table into
+    #: ``dedup_dst`` (<dedup_dst>/sigs + /pairs). Each tick is O(changed
+    #: docs) off the table's own changes() feed — the near-dup index stays
+    #: current as the stream lands, no corpus re-scan. 0 = off.
+    dedup_dst: str | None = None
+    dedup_every_batches: int = 0
+    dedup_text_col: str = "content"
 
 
 def discover_and_evolve(
@@ -284,6 +292,17 @@ class IncrementalSync:
                 maintained.update(
                     table.expire_snapshots(keep_last=self.spec.expire_keep_last)
                 )
+        deduped: dict | None = None
+        d_every = self.spec.dedup_every_batches
+        if (self.spec.dedup_dst and d_every and not stats.skipped
+                and (batch_id + 1) % d_every == 0):
+            from cds_spark.operators.incdedup import dedup_sync
+
+            deduped = dedup_sync(
+                self.spark, table.root, self.spec.dedup_dst,
+                f"{self.spec.job_id}-dedup",
+                text_col=self.spec.dedup_text_col,
+            )
         rec = {
             "job_id": self.spec.job_id,
             "batch_id": batch_id,
@@ -296,6 +315,7 @@ class IncrementalSync:
             "partitions": lineage_rows,
             "n_dlq": n_dlq,
             "maintenance": maintained,
+            "dedup": deduped,
             "duration_s": round(time.time() - t0, 3),
             "ts": time.time(),
         }

@@ -176,3 +176,67 @@ def test_cli_dedup_sync(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip())
     assert rc == 0 and out["skipped"]
     assert ("x", "y") in _live(spark, tmp_path / "dd")
+
+
+def test_prune_stale_pairs_keeps_live_view(spark, tmp_path):
+    """The discovery log accumulates rows invalidated by updates; pruning
+    rewrites it to the live-valid rows with live_pairs() unchanged."""
+    from cds_spark.operators.incdedup import prune_stale_pairs
+
+    src = _mk_src(spark, tmp_path)
+    dst = tmp_path / "dd"
+    src.merge(_rows(spark, [
+        ("a", BASE_A + "one", 1), ("b", BASE_A + "two", 1)]), fence=("i", 1))
+    dedup_sync(spark, src.root, str(dst), "j")
+    src = LakeTable.load(spark, src.root)
+    src.merge(_rows(spark, [("b", "no resemblance anymore at all", 2)]),
+              fence=("i", 2))
+    dedup_sync(spark, src.root, str(dst), "j")
+    before = _live(spark, dst)
+    assert ("a", "b") not in before
+    pairs_t = LakeTable.load(spark, str(dst / "pairs"))
+    assert pairs_t.current().count() > len(before)   # the stale a-b row
+    res = prune_stale_pairs(spark, str(dst))
+    assert res["pruned"] >= 1
+    assert _live(spark, dst) == before
+    assert LakeTable.load(spark, str(dst / "pairs")).current().count() == len(before)
+
+
+def test_pipeline_inloop_dedup(spark, tmp_path):
+    """JobSpec.dedup_every_batches: the sync loop itself keeps the near-dup
+    index current — after the stream drains, the index equals a batch
+    MinHash run over the synced table and the lineage records the ticks."""
+    import json as _json
+
+    from cds_spark.operators.incdedup import UNIT_SEP, live_pairs
+    from cds_spark.sources.feed import REPO_SCHEMA, change_feed, write_feed_files
+    from cds_spark.streaming.pipeline import IncrementalSync, JobSpec
+
+    feed = change_feed(spark, 1200, n_repos=8, paths_per_repo=12, seed=5)
+    topic = str(tmp_path / "topic")
+    write_feed_files(feed, topic, 4)
+    LakeTable.create(
+        spark, str(tmp_path / "repos"), REPO_SCHEMA, pk=["repo", "path"],
+        version_cols=["commit", "_offset"], n_buckets=8)
+    spec = JobSpec(
+        job_id="j", table_root=str(tmp_path / "repos"), source_dir=topic,
+        checkpoint_dir=str(tmp_path / "ckpt"), max_files_per_trigger=2,
+        dedup_dst=str(tmp_path / "dd"), dedup_every_batches=1,
+        dedup_text_col="content")
+    IncrementalSync(spark, spec).run_available()
+    t = LakeTable.load(spark, str(tmp_path / "repos"))
+    sigs = LakeTable.load(spark, str(tmp_path / "dd" / "sigs"))
+    pairs = LakeTable.load(spark, str(tmp_path / "dd" / "pairs"))
+    # every live doc is signed, deleted docs are not
+    assert sigs.current().count() == t.current().count()
+    live = {(r.doc_a, r.doc_b): r.jaccard
+            for r in live_pairs(sigs, pairs).collect()}
+    docs = t.current().select(
+        F.concat_ws(UNIT_SEP, "repo", "path").alias("doc_id"),
+        F.col("content").alias("text"))
+    want = {(r.doc_a, r.doc_b): r.jaccard
+            for r in minhash_lsh_pairs(docs).collect()}
+    assert live == want
+    recs = [_json.loads(l) for l in open(t.root + "/_lineage/j.jsonl")]
+    ticks = [r["dedup"] for r in recs if r.get("dedup")]
+    assert ticks and all(not d["skipped"] for d in ticks)
