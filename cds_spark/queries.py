@@ -1006,6 +1006,59 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(load(spark, sf_dir, "embeddings"))
 
 
+def q_ann_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance (operators/annindex.py): the
+    embeddings arrive as TWO CDC increments — the first delivers 60% with
+    a slice NEGATED (every hyperplane sign flips, so the correction in the
+    second increment forces bucket-move tombstones) plus a synthetic
+    vector the second increment deletes. Serving vec_id<5 queries off the
+    MAINTAINED index (manifest-pruned to the query buckets) must equal the
+    history-blind batch LSH SQL oracle over the final embeddings table."""
+    import os
+    import shutil
+    import tempfile
+
+    from cds_spark.lake.table import LakeTable
+    from cds_spark.operators.annindex import ann_index_sync, ann_topk
+    from pyspark.sql import types as T
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("ver", T.LongType()),
+    ])
+    root = tempfile.mkdtemp(prefix="cds-annix-src-")
+    dst = tempfile.mkdtemp(prefix="cds-annix-dd-")
+    shutil.rmtree(root)
+    shutil.rmtree(dst)
+    src = LakeTable.create(
+        spark, root, schema, pk=["vec_id"], version_cols=["ver"],
+        n_buckets=4, properties={"merge_mode": "upsert"})
+    part = F.pmod(F.xxhash64("vec_id"), F.lit(10))
+    neg = F.transform("embedding", lambda x: -x).cast("array<float>")
+    b1 = (emb.filter(part < 6)
+          .select("vec_id",
+                  F.when(part == 0, neg).otherwise(F.col("embedding"))
+                   .alias("embedding"))
+          .withColumn("ver", F.lit(1).cast("long"))
+          .unionByName(spark.createDataFrame(
+              [(-1, [0.5] * 64, 1)], schema)))
+    src.merge(b1, fence=("annix", 1))
+    ann_index_sync(spark, src.root, dst, "annix-job")
+    src = LakeTable.load(spark, src.root)
+    b2 = (emb.filter((part >= 6) | (part == 0))
+          .withColumn("ver", F.lit(2).cast("long"))
+          .withColumn("_is_delete", F.lit(False))
+          .unionByName(spark.createDataFrame([(-1, None, 2)], schema)
+                       .withColumn("_is_delete", F.lit(True))))
+    src.merge(b2, fence=("annix", 2))
+    ann_index_sync(spark, src.root, dst, "annix-job")
+    q = src.current().filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    return ann_topk(spark, dst, q, k=10, probes=0)
+
+
 def q_ann_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cds_spark.operators.similarity import lsh_bucketed_topk_multiprobe
 
@@ -1322,6 +1375,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_lsh": q_embedding_near_dup_lsh,
     "ann_cosine_topk": q_ann_topk,
     "ann_cosine_topk_lsh": q_ann_topk_lsh,
+    "ann_cosine_topk_indexed": q_ann_topk_indexed,
     "ann_cosine_topk_lsh_multiprobe": q_ann_topk_lsh_multiprobe,
     "text_quality_scores": q_text_quality,
     "text_lang_id": q_lang_id,
@@ -1379,6 +1433,10 @@ def _training_oracles() -> dict[str, str]:
         "dedup_embedding_lsh": similarity.lsh_near_dup_pairs_sql(),
         "ann_cosine_topk": similarity.BRUTE_TOPK_SQL,
         "ann_cosine_topk_lsh": similarity.lsh_bucketed_topk_sql(),
+        # the maintained index converges to the batch bucketing by
+        # construction (same deterministic hyperplanes); the oracle is the
+        # SAME batch SQL, blind to the add/bucket-move/delete history
+        "ann_cosine_topk_indexed": similarity.lsh_bucketed_topk_sql(),
         "ann_cosine_topk_lsh_multiprobe": similarity.lsh_bucketed_topk_multiprobe_sql(),
         "text_quality_scores": textstats.QUALITY_SQL,
         "text_lang_id": textstats.LANG_ID_SQL,
