@@ -200,6 +200,92 @@ def cdc_replay(
     return out
 
 
+def incremental_bench(spark, work_dir: str) -> dict:
+    """O(delta) evidence for the incremental-maintenance family: bootstrap
+    the sf documents corpus into a lake table and build the near-dup index
+    (full-corpus cost, paid once), then time ONE dedup tick for a ~5%
+    re-delivered delta and one ANN index tick for a ~5% vector delta —
+    the recurring per-cadence cost a 10^10-doc deployment actually pays.
+
+    At bench scale (5k docs) a tick is dominated by the FIXED floor —
+    Spark job scheduling plus the two fenced lake merges — so the telling
+    number is the SPREAD between two tick sizes: ticks at ~5% and ~15%
+    delta should differ by far less than the smaller tick costs (the
+    variable O(delta) term is small against the floor), while a full
+    batch recompute grows with the corpus."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from cds_spark.lake.table import LakeTable
+    from cds_spark.operators.annindex import ann_index_sync
+    from cds_spark.operators.incdedup import dedup_sync
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+        "doc_id", "text")
+    dschema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ver", T.LongType()),
+    ])
+    sroot = os.path.join(work_dir, "incb-src")
+    dd = os.path.join(work_dir, "incb-dd")
+    src = LakeTable.create(spark, sroot, dschema, pk=["doc_id"],
+                           version_cols=["ver"], n_buckets=8,
+                           properties={"merge_mode": "upsert"})
+    src.merge(docs.withColumn("ver", F.lit(1).cast("long")), fence=("b", 1))
+    n_docs = src.current().count()
+    t0 = time.time()
+    dedup_sync(spark, sroot, dd, "incb")
+    dedup_boot_s = round(time.time() - t0, 3)
+    delta = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(20)) == 0)
+    n_delta = delta.count()
+    src = LakeTable.load(spark, sroot)
+    src.merge(delta.withColumn("ver", F.lit(2).cast("long")), fence=("b", 2))
+    t0 = time.time()
+    dedup_sync(spark, sroot, dd, "incb")
+    dedup_tick_s = round(time.time() - t0, 3)
+    delta3 = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(20)).isin(1, 2, 3))
+    n_delta3 = delta3.count()
+    src = LakeTable.load(spark, sroot)
+    src.merge(delta3.withColumn("ver", F.lit(3).cast("long")), fence=("b", 3))
+    t0 = time.time()
+    dedup_sync(spark, sroot, dd, "incb")
+    dedup_tick3x_s = round(time.time() - t0, 3)
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).select(
+        "vec_id", "embedding")
+    eschema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("ver", T.LongType()),
+    ])
+    eroot = os.path.join(work_dir, "incb-emb")
+    ad = os.path.join(work_dir, "incb-ann")
+    esrc = LakeTable.create(spark, eroot, eschema, pk=["vec_id"],
+                            version_cols=["ver"], n_buckets=8,
+                            properties={"merge_mode": "upsert"})
+    esrc.merge(emb.withColumn("ver", F.lit(1).cast("long")), fence=("b", 1))
+    n_vecs = esrc.current().count()
+    t0 = time.time()
+    ann_index_sync(spark, eroot, ad, "incb")
+    ann_boot_s = round(time.time() - t0, 3)
+    edelta = emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(20)) == 0)
+    n_edelta = edelta.count()
+    esrc = LakeTable.load(spark, eroot)
+    esrc.merge(edelta.withColumn("ver", F.lit(2).cast("long")), fence=("b", 2))
+    t0 = time.time()
+    ann_index_sync(spark, eroot, ad, "incb")
+    ann_tick_s = round(time.time() - t0, 3)
+    return {
+        "corpus_docs": n_docs, "delta_docs": n_delta,
+        "delta3x_docs": n_delta3,
+        "dedup_bootstrap_s": dedup_boot_s, "dedup_tick_s": dedup_tick_s,
+        "dedup_tick3x_s": dedup_tick3x_s,
+        "corpus_vecs": n_vecs, "delta_vecs": n_edelta,
+        "ann_bootstrap_s": ann_boot_s, "ann_tick_s": ann_tick_s,
+    }
+
+
 def page_bench(spark, work_dir: str, n_rows: int = 4_000_000) -> dict:
     """Keyset-page serving cost (``WHERE pk > ? ORDER BY pk LIMIT n``,
     mysql2clickhouse.go:69-90) on a compacted table with the layout any
@@ -437,6 +523,8 @@ def main() -> None:
         # keyset-page serving cost on an at-scale (multi-chunk-per-bucket)
         # layout: the O(page)-not-O(table) read a 100 TB cursor walk needs
         page_serving = page_bench(spark, work)
+        # incremental-maintenance tick cost vs bootstrap (O(delta) evidence)
+        inc = incremental_bench(spark, work)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     timings["cdc_replay_append"] = replay["sec"]
@@ -473,6 +561,7 @@ def main() -> None:
                 "cdc_replay_maintained": maint,
                 "cdc_replay_upsert": replay_upsert,
                 "keyset_page_bench": page_serving,
+                "incremental_bench": inc,
                 "host_probe": probe,
                 "probe_speedup": (probe or {}).get("speedup"),
                 "jvm_probe_before_sec": probe_before,

@@ -90,14 +90,16 @@ def ann_index_sync(
     index_root = os.path.join(dst_root, "index")
     if not LakeTable.exists(vecs_root):
         nb = n_buckets or src.n_buckets
+        # merge-on-read append (see incdedup): a tick appends O(batch)
+        # postings; reads LWW-collapse and compact() amortizes
         vecs = LakeTable.create(
             spark, vecs_root, _vecs_schema(id_type), pk=["vec_id"],
             version_cols=["ver"], n_buckets=nb,
-            properties={"merge_mode": "upsert"})
+            properties={"merge_mode": "append"})
         index = LakeTable.create(
             spark, index_root, _index_schema(id_type),
             pk=["bucket", "vec_id"], version_cols=["ver"], n_buckets=nb,
-            properties={"merge_mode": "upsert"})
+            properties={"merge_mode": "append"})
     else:
         vecs = LakeTable.load(spark, vecs_root)
         index = LakeTable.load(spark, index_root)
@@ -155,6 +157,8 @@ def ann_index_sync(
         "vec_id", F.col("new_bucket").alias("bucket"), ver.alias("ver"),
         F.col(IS_DELETE)))
     vstats = vecs.merge(vec_rows, fence=(job_id, v2))   # cursor advance
+    index.compact(max_generations=8)
+    vecs.compact(max_generations=8)
     delta.unpersist()
     return {"applied": int(vstats.rows_written),
             "index_rows_written": int(istats.rows_written),

@@ -197,14 +197,18 @@ def dedup_sync(
 
     if not LakeTable.exists(sigs_root):
         nb = n_buckets or src.n_buckets
+        # merge-on-read append, like the main CDC ingest: a tick APPENDS
+        # O(batch) rows instead of copy-on-write-rewriting every touched
+        # bucket of the (growing) derived tables; reads apply the LWW
+        # window and the generation-bounded compact below amortizes it
         sigs = LakeTable.create(
             spark, sigs_root, _sig_schema(id_type, pk_fields), pk=["doc_id"],
             version_cols=["ver"], n_buckets=nb,
-            properties={"merge_mode": "upsert"})
+            properties={"merge_mode": "append"})
         pairs = LakeTable.create(
             spark, pairs_root, _pair_schema(id_type), pk=["doc_a", "doc_b"],
             version_cols=["ver"], n_buckets=nb,
-            properties={"merge_mode": "upsert"})
+            properties={"merge_mode": "append"})
     else:
         sigs = LakeTable.load(spark, sigs_root)
         pairs = LakeTable.load(spark, pairs_root)
@@ -312,6 +316,10 @@ def dedup_sync(
     )
     # the cursor advance: fence.{job_id}=v2 commits atomically with this merge
     sstats = sigs.merge(sig_rows, fence=(job_id, v2))
+    # bound read amplification: rewrite only buckets that accumulated
+    # generations (O(dirty buckets), a no-op manifest scan otherwise)
+    sigs.compact(max_generations=8)
+    pairs.compact(max_generations=8)
 
     for df in (cand, new_sigs, ups, delta):
         df.unpersist()
