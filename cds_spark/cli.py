@@ -541,8 +541,12 @@ def cmd_sync_many(args) -> int:
 def cmd_cascade(args) -> int:
     from cds_spark.streaming.pipeline import cascade_sync
 
+    tf = None
+    if args.select:
+        exprs = list(args.select)
+        tf = lambda df: df.selectExpr(*exprs)  # noqa: E731
     r = cascade_sync(_spark(args), args.src_root, args.root, args.job_id,
-                     n_buckets=args.buckets)
+                     n_buckets=args.buckets, transform=tf)
     print(json.dumps(r))
     return 0
 
@@ -763,6 +767,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--job-id", required=True)
     sp.add_argument("--buckets", type=int, default=None,
                     help="bucket count if this run creates the destination")
+    sp.add_argument("--select", action="append",
+                    help="repeatable SQL projection expr — maintain a "
+                         "row-wise DERIVED VIEW instead of a copy (must "
+                         "keep pk/version/_is_delete/_offset columns)")
     sp.set_defaults(fn=cmd_cascade)
     return p
 

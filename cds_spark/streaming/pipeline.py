@@ -824,12 +824,25 @@ def bootstrap(
     return table
 
 
+def _evolve_to(dst: "LakeTable", want) -> None:
+    """Apply column add / type-widen so ``dst`` covers schema ``want``."""
+    dst_fields = {f.name: f for f in dst.schema.fields}
+    added = [f for f in want.fields if f.name not in dst_fields]
+    if added:
+        dst.alter_add_columns(added)
+    for f in want.fields:
+        have = dst_fields.get(f.name)
+        if have is not None and have.dataType != f.dataType:
+            dst.alter_widen_column(f.name, f.dataType)
+
+
 def cascade_sync(
     spark: SparkSession,
     src_root: str,
     dst_root: str,
     job_id: str,
     n_buckets: int | None = None,
+    transform=None,
 ) -> dict:
     """Lake-to-lake incremental cascade: a downstream table tails an
     upstream table's snapshot history via ``LakeTable.changes`` and applies
@@ -848,8 +861,20 @@ def cascade_sync(
     First call bootstraps: full upstream state (tombstones included, so a
     later compact purge stays consistent) seeds the destination, fenced at
     the upstream's current version. Returns {applied, from, to, skipped}.
+
+    ``transform`` (optional) maintains a DERIVED VIEW instead of a copy: a
+    ROW-WISE DataFrame -> DataFrame function (quality scores, token
+    counts, PII scrub, column projection...) applied to the bootstrap,
+    every delta, and any full refresh. It must preserve the PK and version
+    columns and the ``_is_delete``/``_offset`` meta columns, and must stay
+    one-row-per-row (no aggregation — LWW then no longer commutes with
+    it). The destination's schema is the TRANSFORMED schema, and upstream
+    schema evolution reaches the destination through the transform's
+    output (the add/widen diff below runs on the transformed delta).
     """
     t0 = time.time()
+    tf = transform if transform is not None else (lambda df: df)
+    from cds_spark.lake.table import IS_DELETE as _DEL, OFFSET as _OFF
 
     def _log(dst_root_: str, rec: dict) -> None:
         # same lineage JSONL convention as IncrementalSync: the cascade is
@@ -862,14 +887,28 @@ def cascade_sync(
                                 "ts": time.time()}) + "\n")
 
     src = LakeTable.load(spark, src_root)
+
+    def _dst_schema(tdf):
+        fields = [f for f in tdf.schema.fields
+                  if f.name not in (_DEL, _OFF, "_bucket")]
+        have = {f.name for f in fields}
+        missing = [c for c in list(src.pk) + list(src.version_cols)
+                   if c != _OFF and c not in have]
+        if missing:
+            raise ValueError(
+                f"cascade transform must preserve PK/version columns; "
+                f"missing {missing}")
+        import pyspark.sql.types as _T
+        return _T.StructType(fields)
+
     if not LakeTable.exists(dst_root):
+        full = tf(src.read(live_only=False, with_meta=True, collapse=True))
         dst = LakeTable.create(
-            spark, dst_root, src.schema, pk=src.pk,
+            spark, dst_root, _dst_schema(full), pk=src.pk,
             version_cols=src.version_cols,
             n_buckets=n_buckets or src.n_buckets,
             properties={"merge_mode": src.properties.get("merge_mode", "upsert")},
         )
-        full = src.read(live_only=False, with_meta=True, collapse=True)
         dst.merge(full, fence=(job_id, src.version), precollapsed=True)
         rec = {"applied": "bootstrap", "from": 0, "to": src.version,
                "skipped": False}
@@ -881,7 +920,7 @@ def cascade_sync(
         if not dst.manifest["files"]:
             # first run crashed between create() and the bootstrap merge:
             # the empty destination is safe to (re-)bootstrap
-            full = src.read(live_only=False, with_meta=True, collapse=True)
+            full = tf(src.read(live_only=False, with_meta=True, collapse=True))
             dst.merge(full, fence=(job_id, src.version), precollapsed=True)
             rec = {"applied": "bootstrap", "from": 0, "to": src.version,
                    "skipped": False}
@@ -894,16 +933,6 @@ def cascade_sync(
     from_v = int(last)
     if from_v >= src.version:
         return {"applied": 0, "from": from_v, "to": src.version, "skipped": True}  # no-op: not logged
-    # propagate upstream schema evolution (column add / widen) before apply —
-    # the delta is aligned to the upstream's CURRENT schema
-    dst_fields = {f.name: f for f in dst.schema.fields}
-    added = [f for f in src.schema.fields if f.name not in dst_fields]
-    if added:
-        dst.alter_add_columns(added)
-    for f in src.schema.fields:
-        have = dst_fields.get(f.name)
-        if have is not None and have.dataType != f.dataType:
-            dst.alter_widen_column(f.name, f.dataType)
     try:
         # raises ValueError when the incremental read is impossible:
         # cursor fell off the retained-snapshot window, or the window
@@ -916,11 +945,17 @@ def cascade_sync(
         # Iceberg-style full refresh: overwrite with the current upstream
         # state, tombstones included — also how upstream purges/updates
         # reach the destination
-        full = src.read(live_only=False, with_meta=True, collapse=True)
+        full = tf(src.read(live_only=False, with_meta=True, collapse=True))
+        _evolve_to(dst, _dst_schema(full))
         stats = dst.overwrite(full, fence=(job_id, src.version))
         applied: int | str = "full-refresh"
     else:
-        stats = dst.merge(delta, fence=(job_id, src.version))
+        tdelta = tf(delta)
+        # propagate upstream schema evolution (column add / widen) before
+        # apply — diffed on the TRANSFORMED delta, so it works identically
+        # for plain copies and derived views
+        _evolve_to(dst, _dst_schema(tdelta))
+        stats = dst.merge(tdelta, fence=(job_id, src.version))
         applied = stats.rows_written
     rec = {"applied": applied, "from": from_v, "to": src.version,
            "skipped": stats.skipped}

@@ -1396,3 +1396,77 @@ def test_drop_then_readd_reads_null_not_old_values(spark, tmp_path):
     got3 = {(r.repo, r.path): r.lang
             for r in LakeTable.load(spark, t.root).current().collect()}
     assert got3 == want
+
+
+def test_cascade_sync_transform_derived_view(spark, tmp_path):
+    """cascade_sync(transform=...): a derived VIEW (here: token counts +
+    content projection) maintained incrementally — bootstrap, O(delta)
+    increments, update/delete propagation, full-refresh fallback — always
+    equal to recomputing the transform over the upstream's current state."""
+    from cds_spark.streaming.pipeline import cascade_sync
+
+    src_root = str(tmp_path / "src")
+    dst_root = str(tmp_path / "dst")
+    src = LakeTable.create(
+        spark, src_root, REPO_SCHEMA, pk=["repo", "path"],
+        version_cols=["commit", "_offset"], n_buckets=8,
+        properties={"merge_mode": "append"},
+    )
+
+    def push(lo, hi, fence_n):
+        feed = change_feed(spark, hi - lo, n_repos=6, paths_per_repo=8, seed=7,
+                           start_offset=lo)
+        events = decode_feed(feed, inject={"commit": "commit"})
+        rows, _ = events_to_rows(events, src.schema, src.pk)
+        src.merge(rows, fence=("up", fence_n))
+
+    def tf(df):
+        # row-wise derived view: drop content, add a token count + a
+        # language flag; preserves pk/version/meta columns
+        return df.select(
+            "repo", "path", "commit", "_offset", "_is_delete",
+            F.size(F.split(F.coalesce(F.col("content"), F.lit("")), " "))
+             .cast("long").alias("n_tokens"),
+            (F.col("lang") == "python").alias("is_python"),
+        )
+
+    def states_equal():
+        want = sorted(
+            tuple(r) for r in
+            tf(src.current()
+               .withColumn("_is_delete", F.lit(False))
+               .withColumn("_offset", F.lit(0).cast("long")))
+            .drop("_is_delete", "_offset").collect())
+        got = sorted(
+            tuple(r) for r in LakeTable.load(spark, dst_root).current()
+            .select("repo", "path", "commit", "n_tokens", "is_python")
+            .collect())
+        assert got == want and len(got) > 0
+
+    push(0, 700, 0)
+    r = cascade_sync(spark, src_root, dst_root, "tv", transform=tf)
+    assert r["applied"] == "bootstrap"
+    dst = LakeTable.load(spark, dst_root)
+    assert [f.name for f in dst.schema.fields] == [
+        "repo", "path", "commit", "n_tokens", "is_python"]
+    states_equal()
+
+    # increments with updates + deletes flow through the transform
+    push(700, 1500, 1)
+    r = cascade_sync(spark, src_root, dst_root, "tv", transform=tf)
+    assert isinstance(r["applied"], int) and r["applied"] > 0
+    states_equal()
+
+    # full-refresh fallback keeps the transform
+    push(1500, 1900, 2)
+    push(1900, 2200, 3)
+    src.expire_snapshots(keep_last=1)
+    r = cascade_sync(spark, src_root, dst_root, "tv", transform=tf)
+    assert r["applied"] == "full-refresh"
+    states_equal()
+
+    # a transform dropping a PK column is refused
+    import pytest
+    with pytest.raises(ValueError):
+        cascade_sync(spark, src_root, str(tmp_path / "bad"), "tv2",
+                     transform=lambda df: df.drop("path"))
