@@ -911,6 +911,80 @@ def q_dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         LakeTable.load(spark, os.path.join(dst, "pairs")))
 
 
+def q_cascade_transform_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transform cascade (streaming/pipeline.cascade_sync(transform=...)):
+    a derived VIEW (per-doc char + whitespace-token counts) maintained
+    incrementally off a source lake table's own ``changes()`` feed. The
+    corpus arrives as TWO CDC increments: the first delivers 60% of the
+    docs — a slice of them with constant PLACEHOLDER text — plus a
+    synthetic doc; the second delivers the rest, restores the slice's true
+    text (the update must propagate THROUGH the transform) and deletes the
+    synthetic doc. After a bootstrap tick and one O(delta) tick, the
+    derived table's current state must equal the transform applied to the
+    plain documents table — exactly what the history-blind DuckDB oracle
+    computes. This is the lake-native analog of cds users chaining a
+    second sync job off the first one's output topic."""
+    import shutil
+    import tempfile
+
+    from cds_spark.lake.table import LakeTable
+    from cds_spark.streaming.pipeline import cascade_sync
+    from pyspark.sql import types as T
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ver", T.LongType()),
+    ])
+    src_root = tempfile.mkdtemp(prefix="cds-ctv-src-")
+    dst_root = tempfile.mkdtemp(prefix="cds-ctv-dst-")
+    shutil.rmtree(src_root)
+    shutil.rmtree(dst_root)
+    src = LakeTable.create(
+        spark, src_root, schema, pk=["doc_id"], version_cols=["ver"],
+        n_buckets=4, properties={"merge_mode": "upsert"})
+
+    def tf(df: DataFrame) -> DataFrame:
+        meta = [c for c in ("_is_delete", "_offset") if c in df.columns]
+        text = F.coalesce(F.col("text"), F.lit(""))
+        return df.select(
+            "doc_id", "ver", *meta,
+            F.length(text).cast("long").alias("n_chars"),
+            F.size(F.split(text, " ")).cast("long").alias("n_tokens"),
+        )
+
+    part = F.pmod(F.xxhash64("doc_id"), F.lit(10))
+    b1 = (docs.filter(part < 6)
+          .select("doc_id",
+                  F.when(part == 0, F.lit("placeholder"))
+                   .otherwise(F.col("text")).alias("text"))
+          .withColumn("ver", F.lit(1).cast("long"))
+          .unionByName(spark.createDataFrame(
+              [(-1, "synthetic doc deleted by the second increment", 1)],
+              schema)))
+    src.merge(b1, fence=("ctv", 1))
+    cascade_sync(spark, src_root, dst_root, "ctv-job", transform=tf)
+    src = LakeTable.load(spark, src_root)
+    b2 = (docs.filter((part >= 6) | (part == 0))
+          .withColumn("ver", F.lit(2).cast("long"))
+          .withColumn("_is_delete", F.lit(False))
+          .unionByName(spark.createDataFrame([(-1, None, 2)], schema)
+                       .withColumn("_is_delete", F.lit(True))))
+    src.merge(b2, fence=("ctv", 2))
+    cascade_sync(spark, src_root, dst_root, "ctv-job", transform=tf)
+    return (LakeTable.load(spark, dst_root).current()
+            .select("doc_id", "n_chars", "n_tokens"))
+
+
+ORACLE_CASCADE_VIEW = """
+SELECT doc_id,
+       CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,
+       CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
 def q_dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the minhash-LSH near-dup pair graph:
     (doc_id, cluster_id = min doc_id of the component). The dedup step a
@@ -1363,6 +1437,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_minhash_lsh": q_minhash_lsh,
     "dedup_incremental_pairs": q_dedup_incremental_pairs,
+    "cascade_transform_view": q_cascade_transform_view,
     "dedup_near_clusters": q_dedup_near_clusters,
     "dedup_decontaminate": q_decontaminate,
     "text_pii_scrub": q_pii_scrub,
@@ -1408,6 +1483,10 @@ ORACLES: dict[str, str] = {
     "decode_feed_fused": ORACLE_DECODE_FEED_FUSED,
     "cdc_lww_columnwise": ORACLE_LWW_COLUMNWISE,
     "cdc_change_rate": ORACLE_CHANGE_RATE,
+    # the cascaded derived view converges to the batch transform of the
+    # upstream's final state by construction; the oracle is that batch
+    # transform in SQL, blind to the add/update/delete history
+    "cascade_transform_view": ORACLE_CASCADE_VIEW,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "pricing_summary": ORACLE_PRICING,
     "revenue_by_nation": ORACLE_REVENUE_NATION,
