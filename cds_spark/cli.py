@@ -177,6 +177,7 @@ def cmd_sync(args) -> int:
         dlq_dir=args.dlq_dir,
         merge_mode=args.merge_mode,
         decoder=args.decoder,
+        auto_rebucket=args.auto_rebucket,
     )
     job = IncrementalSync(_spark(args), spec)
     if args.once:
@@ -611,6 +612,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--decoder", choices=["jvm", "arrow"], default="jvm",
                     help="batch decode stage; arrow = vectorized pandas "
                          "(implies schema evolution off)")
+    sp.add_argument("--auto-rebucket", action="store_true",
+                    help="maintenance ticks re-shard the table online when "
+                         "stats() flags over-cap buckets")
     sp.set_defaults(fn=cmd_sync)
 
     sp = sub.add_parser("status", help="table + job status (lineage tail)")

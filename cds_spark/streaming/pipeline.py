@@ -92,6 +92,19 @@ class JobSpec:
     dedup_dst: str | None = None
     dedup_every_batches: int = 0
     dedup_text_col: str = "content"
+    #: opt-in layout self-heal: when a maintenance tick finds buckets over
+    #: ``local_compact_max_bucket_bytes`` (stats() emits
+    #: ``rebucket_suggested_n`` — the power-of-two modulus that puts the
+    #: worst bucket back under cap/2), run LakeTable.rebucket(suggested)
+    #: ONLINE, right there in the loop. At 100 TB this is the difference
+    #: between the fast Arrow compact/merge paths degrading silently and
+    #: the table re-sharding itself before throughput drops — the reshard
+    #: a siphash%N ClickHouse cluster cannot do without manual copy +
+    #: cutover (pkg/ckgroup/ckgroup.go:12-47). Bounded by
+    #: ``auto_rebucket_max_n`` so a byte-cap misconfiguration can't run
+    #: the modulus away.
+    auto_rebucket: bool = False
+    auto_rebucket_max_n: int = 4096
 
 
 def discover_and_evolve(
@@ -292,6 +305,19 @@ class IncrementalSync:
                 maintained.update(
                     table.expire_snapshots(keep_last=self.spec.expire_keep_last)
                 )
+            if self.spec.auto_rebucket:
+                st = table.stats()
+                sugg = int(st.get("rebucket_suggested_n") or 0)
+                # stats() withholds the suggestion while a rebucket is in
+                # flight (mixed moduli), so no in-progress check needed here
+                target = min(sugg, self.spec.auto_rebucket_max_n)
+                if target > table.n_buckets:
+                    rb = table.rebucket(target)
+                    maintained["rebucket"] = {
+                        "to": target,
+                        "rewritten_files": rb.get("rewritten_files"),
+                        "commits": rb.get("commits"),
+                    }
         deduped: dict | None = None
         d_every = self.spec.dedup_every_batches
         if (self.spec.dedup_dst and d_every and not stats.skipped

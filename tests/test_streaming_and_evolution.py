@@ -576,6 +576,42 @@ def test_pipeline_auto_maintenance(spark, tmp_path):
     assert max(t.bucket_generations().values()) <= 1 + 2
 
 
+def test_pipeline_auto_rebucket(spark, tmp_path):
+    """Layout self-heal: the sync loop detects over-cap buckets mid-stream
+    (stats() rebucket hint) and re-shards the table ONLINE, replayed state
+    untouched and no legacy-modulus file left behind at the end."""
+    feed = change_feed(spark, 2000, n_repos=10, paths_per_repo=20, seed=22).persist()
+    oracle = reference_replay_pandas([r.asDict() for r in feed.collect()])
+    topic = str(tmp_path / "topic")
+    write_feed_files(feed, topic, 6)
+    LakeTable.create(
+        spark, str(tmp_path / "repos"), REPO_SCHEMA, pk=["repo", "path"],
+        version_cols=["commit", "_offset"], n_buckets=2,
+        properties={"local_compact_max_bucket_bytes": 8_000},
+    )
+    spec = JobSpec(job_id="ar", table_root=str(tmp_path / "repos"),
+                   source_dir=topic, checkpoint_dir=str(tmp_path / "ckpt"),
+                   max_files_per_trigger=1, merge_mode="append",
+                   maintenance_every_batches=2, compact_max_generations=1,
+                   auto_rebucket=True)
+    IncrementalSync(spark, spec).run_available()
+    t = LakeTable.load(spark, str(tmp_path / "repos"))
+    assert t.n_buckets > 2
+    # the migration ran to completion inside the tick: every live file sits
+    # under the current modulus
+    assert {t._file_mod(f) for f in t.manifest["files"]} <= {t.n_buckets}
+    live = {(r.repo, r.path): r.content for r in t.current().collect()}
+    assert len(live) == len(oracle)
+    assert all(live[k] == v["content"] for k, v in oracle.items())
+    recs = [json.loads(l) for l in open(
+        str(tmp_path / "repos" / "_lineage" / "ar.jsonl"))]
+    rbs = [r["maintenance"]["rebucket"] for r in recs
+           if r.get("maintenance") and r["maintenance"].get("rebucket")]
+    assert rbs and rbs[-1]["to"] == t.n_buckets
+    assert rbs[-1]["rewritten_files"] > 0
+    feed.unpersist()
+
+
 def test_cascade_sync_lake_to_lake(spark, tmp_path):
     """Downstream table tails the upstream via changes(): bootstrap, O(delta)
     increments, idempotent re-run, schema-evolution propagation, and the
