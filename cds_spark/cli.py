@@ -350,21 +350,36 @@ def cmd_lookup(args) -> int:
     return 0
 
 
+def _parse_into_column_domain(type_name: str, v: str):
+    """Parse a CLI string into the Python domain of a table column so
+    driver-side zone-map pruning compares like against like (a raw string
+    vs int/us-epoch stats would just fall back to keep-every-file) and
+    row-level cursor filters bind to the right type. Shared by the page
+    cursor and the changed-since bound."""
+    if type_name in ("timestamp", "timestamp_ntz"):
+        import datetime
+
+        return datetime.datetime.fromisoformat(v)
+    if type_name == "date":
+        import datetime
+
+        return datetime.date.fromisoformat(v)
+    if type_name in ("long", "integer", "short", "byte"):
+        return int(v)
+    if type_name in ("double", "float"):
+        return float(v)
+    return v
+
+
 def cmd_page(args) -> int:
     from cds_spark.lake.table import LakeTable
 
     table = LakeTable.load(_spark(args), args.root)
     after = args.after
     if after is not None:
-        # cast the cursor through the leading-PK type so zone-map pruning
-        # compares like against like (footer stats hold native values)
         c0 = table.pk[0]
         f0 = next(f for f in table.schema.fields if f.name == c0)
-        t = f0.dataType.typeName()
-        if t in ("long", "integer", "short", "byte"):
-            after = int(after)
-        elif t in ("double", "float"):
-            after = float(after)
+        after = _parse_into_column_domain(f0.dataType.typeName(), after)
     rows = [
         json.loads(s)
         for s in table.keyset_page(after, args.limit).toJSON().collect()
@@ -379,19 +394,8 @@ def cmd_changed_since(args) -> int:
     table = LakeTable.load(_spark(args), args.root)
     v0 = table.version_cols[0]
     f0 = next((f for f in table.schema.fields if f.name == v0), None)
-    since = args.since
     t = f0.dataType.typeName() if f0 is not None else "long"
-    # parse into the version col's Python domain so the driver-side
-    # zone-map compare actually prunes (a raw string vs int/us-epoch
-    # stats would just fall back to keep-all)
-    if t == "timestamp":
-        import datetime
-
-        since = datetime.datetime.fromisoformat(since)
-    elif t in ("long", "integer", "short", "byte"):
-        since = int(since)
-    elif t in ("double", "float"):
-        since = float(since)
+    since = _parse_into_column_domain(t, args.since)
     rows = [
         json.loads(s)
         for s in table.changed_since(since).limit(args.limit).toJSON().collect()

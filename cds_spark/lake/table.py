@@ -87,6 +87,23 @@ def _stat_encode(v):
     return v if isinstance(v, (str, int, float)) else None
 
 
+_EPOCH_ORDINAL = 719163  # datetime.date(1970, 1, 1).toordinal()
+
+
+def _stat_decode_lit(dt, encoded):
+    """Column-domain literal for a zone-map-encoded value — the inverse of
+    :func:`_stat_encode` for the types it rewrites (timestamp <- UTC
+    microseconds, date <- proleptic ordinal). Required whenever a cutoff
+    DERIVED FROM FILE STATS is pushed back into a row-level filter: the
+    stats domain is ints, the rows are temporal — comparing them raw
+    either fails to resolve or applies a wildly wrong bound."""
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return F.timestamp_micros(F.lit(int(encoded))).cast(dt)
+    if isinstance(dt, T.DateType):
+        return F.date_from_unix_date(F.lit(int(encoded) - _EPOCH_ORDINAL))
+    return F.lit(encoded)
+
+
 def _parquet_footer_stats(path: str, cols: Sequence[str]) -> tuple:
     """(row count, per-column [min, max] zone map) from ONE parquet footer
     read (Iceberg lower/upper bound stats) — the commit path calls this
@@ -1232,18 +1249,24 @@ class LakeTable:
                 target *= 4
                 continue
             prev_keep = keep
+            # the cutoff came from FILE STATS, i.e. the encoded domain —
+            # decode it back into the column's own domain for the row
+            # filter (a timestamp PK vs a raw microsecond int would not
+            # resolve / would bound wrongly)
+            c0_t = self.schema[c0].dataType
             df = self.read(
                 live_only=live_only, file_pred=lambda e: e["path"] in keep
-            ).filter(F.col(c0) <= F.lit(upper))
+            ).filter(F.col(c0) <= _stat_decode_lit(c0_t, upper))
             if after is not None:  # None = first page, no cursor yet
                 df = df.filter(F.col(c0) > F.lit(after))
-            # persist the (<= limit rows) page so the completeness check
+            # collect the (<= limit rows) page so the completeness check
             # and the caller's action share ONE execution of the pruned
-            # read instead of paying it twice
-            page = df.orderBy(*self.pk).limit(limit).persist()
-            if page.count() >= limit:
-                return page
-            page.unpersist()
+            # read — a page is a driver-sized object by contract (the
+            # reference serves 20k-row pages), and collecting avoids
+            # leaking a persisted cache entry per served page
+            rows = df.orderBy(*self.pk).limit(limit).collect()
+            if len(rows) >= limit:
+                return self.spark.createDataFrame(rows, df.schema)
             target *= 4  # slice came up short: widen the cutoff
         return (
             self.scan_range(lower=after, live_only=live_only, lower_inclusive=False)
@@ -1934,7 +1957,13 @@ class LakeTable:
             k = (self._file_mod(f), int(f["bucket"]))
             by_bucket[k] = by_bucket.get(k, 0) + int(f.get("bytes") or 0)
         cap = int(self.properties.get("local_compact_max_bucket_bytes", 4 << 30))
-        mid_rebucket = len({m for m, _ in by_bucket}) > 1
+        # a rebucket is in flight whenever ANY file still carries a modulus
+        # other than n_buckets — not only when two moduli coexist: right
+        # after rebucket-begin (or after a crash before the first rewrite)
+        # EVERY file is legacy under one old modulus, and emitting a new
+        # suggestion there would make auto_rebucket escalate the modulus
+        # instead of resuming the in-flight migration
+        mid_rebucket = any(m != self.n_buckets for m, _ in by_bucket)
         over = sorted(b for (m, b), bb in by_bucket.items() if bb > cap)
         out = {
             "version": self.version,

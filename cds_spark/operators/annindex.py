@@ -88,20 +88,24 @@ def ann_index_sync(
     id_type = next(f.dataType for f in src.schema.fields if f.name == id_col)
     vecs_root = os.path.join(dst_root, "vecs")
     index_root = os.path.join(dst_root, "index")
+    nb = n_buckets or src.n_buckets
+    # create-if-missing PER TABLE: a crash between the two creates must
+    # not leave a half-bootstrapped destination that every later tick
+    # crashes loading. merge-on-read append (see incdedup): a tick
+    # appends O(batch) postings; reads LWW-collapse and compact() amortizes
     if not LakeTable.exists(vecs_root):
-        nb = n_buckets or src.n_buckets
-        # merge-on-read append (see incdedup): a tick appends O(batch)
-        # postings; reads LWW-collapse and compact() amortizes
         vecs = LakeTable.create(
             spark, vecs_root, _vecs_schema(id_type), pk=["vec_id"],
             version_cols=["ver"], n_buckets=nb,
             properties={"merge_mode": "append"})
+    else:
+        vecs = LakeTable.load(spark, vecs_root)
+    if not LakeTable.exists(index_root):
         index = LakeTable.create(
             spark, index_root, _index_schema(id_type),
             pk=["bucket", "vec_id"], version_cols=["ver"], n_buckets=nb,
             properties={"merge_mode": "append"})
     else:
-        vecs = LakeTable.load(spark, vecs_root)
         index = LakeTable.load(spark, index_root)
 
     last = vecs.properties.get(f"fence.{job_id}")

@@ -120,23 +120,32 @@ def _ssets(docs: DataFrame) -> DataFrame:
     )
 
 
+def _validated_pairs(sigs: LakeTable, pairs: LakeTable) -> DataFrame:
+    """Discovery rows whose BOTH endpoint signature digests still match the
+    live signature table — the single definition of pair validity, shared
+    by serving (:func:`live_pairs`) and maintenance
+    (:func:`prune_stale_pairs`) so the rule can never diverge between what
+    serving considers live and what maintenance physically keeps. Carries
+    every pairs column; callers project."""
+    s = sigs.current().select("doc_id", "sig_md5")
+    return (
+        pairs.current()
+        .join(s.select(F.col("doc_id").alias("doc_a"),
+                       F.col("sig_md5").alias("_cur_a")), "doc_a")
+        .join(s.select(F.col("doc_id").alias("doc_b"),
+                       F.col("sig_md5").alias("_cur_b")), "doc_b")
+        .filter((F.col("sig_a") == F.col("_cur_a"))
+                & (F.col("sig_b") == F.col("_cur_b")))
+    )
+
+
 def live_pairs(sigs: LakeTable, pairs: LakeTable) -> DataFrame:
     """Currently-valid near-dup pairs: discovery rows whose BOTH endpoint
     signature digests still match the live signature table. An updated doc
     changes its digest (invalidating old pairs until re-discovery at the
     update increment); a deleted doc's tombstone drops out of current()
     and takes its pairs with it. No text is re-read."""
-    s = sigs.current().select("doc_id", "sig_md5")
-    p = pairs.current()
-    return (
-        p.join(s.select(F.col("doc_id").alias("doc_a"),
-                        F.col("sig_md5").alias("_cur_a")), "doc_a")
-        .join(s.select(F.col("doc_id").alias("doc_b"),
-                       F.col("sig_md5").alias("_cur_b")), "doc_b")
-        .filter((F.col("sig_a") == F.col("_cur_a"))
-                & (F.col("sig_b") == F.col("_cur_b")))
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return _validated_pairs(sigs, pairs).select("doc_a", "doc_b", "jaccard")
 
 
 def prune_stale_pairs(spark: SparkSession, dst_root: str) -> dict:
@@ -150,17 +159,8 @@ def prune_stale_pairs(spark: SparkSession, dst_root: str) -> dict:
     sigs = LakeTable.load(spark, os.path.join(dst_root, "sigs"))
     pairs = LakeTable.load(spark, os.path.join(dst_root, "pairs"))
     before = pairs.current().count()
-    s = sigs.current().select("doc_id", "sig_md5")
-    live = (
-        pairs.current()
-        .join(s.select(F.col("doc_id").alias("doc_a"),
-                       F.col("sig_md5").alias("_ca")), "doc_a")
-        .join(s.select(F.col("doc_id").alias("doc_b"),
-                       F.col("sig_md5").alias("_cb")), "doc_b")
-        .filter((F.col("sig_a") == F.col("_ca"))
-                & (F.col("sig_b") == F.col("_cb")))
-        .select(*[f.name for f in pairs.schema.fields])
-    )
+    live = _validated_pairs(sigs, pairs).select(
+        *[f.name for f in pairs.schema.fields])
     pairs.overwrite(live)
     after = LakeTable.load(spark, pairs.root).current().count()
     return {"pairs_before": before, "pairs_after": after,
@@ -195,22 +195,27 @@ def dedup_sync(
     sigs_root = os.path.join(dst_root, "sigs")
     pairs_root = os.path.join(dst_root, "pairs")
 
+    nb = n_buckets or src.n_buckets
+    # create-if-missing PER TABLE (not all-or-nothing on sigs existing):
+    # a crash between the two creates must not leave a half-bootstrapped
+    # destination that every later tick crashes loading. merge-on-read
+    # append, like the main CDC ingest: a tick APPENDS O(batch) rows
+    # instead of copy-on-write-rewriting every touched bucket of the
+    # (growing) derived tables; reads apply the LWW window and the
+    # generation-bounded compact below amortizes it
     if not LakeTable.exists(sigs_root):
-        nb = n_buckets or src.n_buckets
-        # merge-on-read append, like the main CDC ingest: a tick APPENDS
-        # O(batch) rows instead of copy-on-write-rewriting every touched
-        # bucket of the (growing) derived tables; reads apply the LWW
-        # window and the generation-bounded compact below amortizes it
         sigs = LakeTable.create(
             spark, sigs_root, _sig_schema(id_type, pk_fields), pk=["doc_id"],
             version_cols=["ver"], n_buckets=nb,
             properties={"merge_mode": "append"})
+    else:
+        sigs = LakeTable.load(spark, sigs_root)
+    if not LakeTable.exists(pairs_root):
         pairs = LakeTable.create(
             spark, pairs_root, _pair_schema(id_type), pk=["doc_a", "doc_b"],
             version_cols=["ver"], n_buckets=nb,
             properties={"merge_mode": "append"})
     else:
-        sigs = LakeTable.load(spark, sigs_root)
         pairs = LakeTable.load(spark, pairs_root)
 
     last = sigs.properties.get(f"fence.{job_id}")

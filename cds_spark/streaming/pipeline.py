@@ -309,8 +309,15 @@ class IncrementalSync:
                 st = table.stats()
                 sugg = int(st.get("rebucket_suggested_n") or 0)
                 # stats() withholds the suggestion while a rebucket is in
-                # flight (mixed moduli), so no in-progress check needed here
-                target = min(sugg, self.spec.auto_rebucket_max_n)
+                # flight (any file modulus != n_buckets), so no in-progress
+                # check needed here. Clamp by HALVING, not min(): the
+                # suggestion is a power-of-two multiple of n_buckets (what
+                # keeps _bucket_overlap exact during the migration) and
+                # min() could land on a modulus sharing no factor with it,
+                # degrading every mid-migration read to a full-manifest scan
+                target = sugg
+                while target > self.spec.auto_rebucket_max_n:
+                    target //= 2
                 if target > table.n_buckets:
                     rb = table.rebucket(target)
                     maintained["rebucket"] = {
