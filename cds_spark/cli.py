@@ -377,9 +377,21 @@ def cmd_page(args) -> int:
     table = LakeTable.load(_spark(args), args.root)
     after = args.after
     if after is not None:
-        c0 = table.pk[0]
-        f0 = next(f for f in table.schema.fields if f.name == c0)
-        after = _parse_into_column_domain(f0.dataType.typeName(), after)
+        fields = {f.name: f for f in table.schema.fields}
+        if after.lstrip().startswith("["):
+            # composite-PK cursor: JSON list in PK order, each element
+            # coerced into its own column's domain
+            vals = json.loads(after)
+            if len(vals) != len(table.pk):
+                raise SystemExit(
+                    f"--after {after!r} does not match pk {table.pk}")
+            after = tuple(
+                _parse_into_column_domain(
+                    fields[c].dataType.typeName(), str(v))
+                for c, v in zip(table.pk, vals))
+        else:
+            after = _parse_into_column_domain(
+                fields[table.pk[0]].dataType.typeName(), after)
     rows = [
         json.loads(s)
         for s in table.keyset_page(after, args.limit).toJSON().collect()

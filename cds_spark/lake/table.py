@@ -367,7 +367,12 @@ def _bucket_overlap(entry_bucket: int, entry_mod: int, want: set, want_mod: int)
     """Can a file bucketed under ``entry_mod`` hold a key whose bucket
     under ``want_mod`` is in ``want``? Exact when one modulus divides the
     other (hash%N determines hash%M for M|N); conservatively True for
-    unrelated moduli — correctness must never skip a candidate file."""
+    unrelated moduli — correctness must never skip a candidate file.
+    An EMPTY want set matches nothing under any modulus (without this,
+    the conservative fallback would turn a read of zero buckets into a
+    full-table scan mid-rebucket)."""
+    if not want:
+        return False
     if entry_mod == want_mod:
         return entry_bucket in want
     if want_mod % entry_mod == 0:
@@ -581,7 +586,21 @@ class LakeTable:
 
     @classmethod
     def exists(cls, root: str) -> bool:
-        return os.path.exists(os.path.join(os.path.abspath(root), META_DIR, "_current"))
+        meta = os.path.join(os.path.abspath(root), META_DIR)
+        if os.path.exists(os.path.join(meta, "_current")):
+            return True
+        # _current is advisory and may be missing after a crash between
+        # the first manifest write and the pointer write; any committed
+        # version file proves the table exists (same authoritative rule
+        # as _current_version) — otherwise a supervisor's create-if-
+        # missing path wedges forever on the existing _meta dir
+        try:
+            names = os.listdir(meta)
+        except (FileNotFoundError, NotADirectoryError):
+            return False
+        return any(
+            n.startswith("version-") and n.endswith(".json") for n in names
+        )
 
     # ------------------------------------------------------------- schema
     @property
@@ -1155,7 +1174,8 @@ class LakeTable:
         return df.drop(IS_DELETE, OFFSET) if v0 != OFFSET else df.drop(IS_DELETE)
 
     @classmethod
-    def _page_file_slice(cls, files, c0: str, after, target: int):
+    def _page_file_slice(cls, files, c0: str, after, target: int,
+                         lower_inclusive: bool = False):
         """Choose a bounded manifest slice for one keyset page: drop every
         file entirely at-or-below the cursor, then take the minimal prefix
         (by ``stats.min`` on ``c0``) whose summed footer row counts reach
@@ -1168,6 +1188,9 @@ class LakeTable:
         take the plain pruned range scan. ``after`` is compared against
         stats, so it is encoded into the stats domain here."""
         after = _stat_encode(after) if after is not None else None
+        # lower_inclusive=True keeps files whose max EQUALS the cursor's
+        # leading value — required for composite-PK pages, where rows equal
+        # on c0 can still follow the cursor via later PK columns
         cand = [
             f
             for f in files
@@ -1175,7 +1198,7 @@ class LakeTable:
                 ((f.get("stats") or {}).get(c0) or [None, None]),
                 after,
                 None,
-                False,
+                lower_inclusive,
             )
         ]
 
@@ -1227,18 +1250,55 @@ class LakeTable:
         and keeping rows <= U yields the complete collapsed state of that
         slice. If the slice holds < limit live rows (duplicate
         generations / tombstones ate the estimate), the cutoff widens
-        geometrically; the last resort is the plain pruned range scan."""
-        if limit <= 0:
-            return self.scan_range(
-                lower=after, live_only=live_only, lower_inclusive=False
-            ).limit(0)
+        geometrically; the last resort is the plain pruned range scan.
+
+        ``after`` is the full PK of the last served row: a scalar for a
+        single-column PK, a tuple/list matching ``pk`` for a composite PK
+        (the row predicate is the lexicographic tuple comparison; file
+        pruning uses the leading column with an INCLUSIVE bound, since
+        rows equal on it can still follow the cursor via later PK
+        columns). A scalar cursor on a composite-PK table is rejected —
+        it would silently skip every remaining row sharing the last
+        page's leading value."""
         c0 = self.pk[0]
+        if after is None:
+            after0 = after_tuple = None
+        elif isinstance(after, (tuple, list)):
+            if len(after) != len(self.pk):
+                raise ValueError(f"cursor {after!r} does not match pk {self.pk}")
+            after0, after_tuple = after[0], list(after)
+        elif len(self.pk) == 1:
+            after0, after_tuple = after, None
+        else:
+            raise ValueError(
+                f"composite-PK table (pk={self.pk}): the page cursor must "
+                f"be the full PK tuple, got scalar {after!r}")
+        composite = after_tuple is not None
+
+        def _after_pred(df: DataFrame) -> DataFrame:
+            if after_tuple is not None:
+                cur = F.struct(*[F.col(c) for c in self.pk])
+                lit = F.struct(*[F.lit(v).alias(c)
+                                 for c, v in zip(self.pk, after_tuple)])
+                return df.filter(cur > lit)
+            if after0 is not None:  # None = first page, no cursor yet
+                return df.filter(F.col(c0) > F.lit(after0))
+            return df
+
+        def _fallback() -> DataFrame:
+            sc = self.scan_range(lower=after0, live_only=live_only,
+                                 lower_inclusive=composite)
+            return _after_pred(sc) if composite else sc
+
+        if limit <= 0:
+            return _fallback().limit(0)
         # 3x: live winners per page row is at least 1 file row, but
         # duplicate generations + tombstones inflate the raw count
         target = 3 * limit
         prev_keep = None
         while True:
-            sl = self._page_file_slice(self.manifest["files"], c0, after, target)
+            sl = self._page_file_slice(self.manifest["files"], c0, after0,
+                                       target, lower_inclusive=composite)
             if sl is None:
                 break
             keep, upper = sl
@@ -1254,11 +1314,9 @@ class LakeTable:
             # filter (a timestamp PK vs a raw microsecond int would not
             # resolve / would bound wrongly)
             c0_t = self.schema[c0].dataType
-            df = self.read(
+            df = _after_pred(self.read(
                 live_only=live_only, file_pred=lambda e: e["path"] in keep
-            ).filter(F.col(c0) <= _stat_decode_lit(c0_t, upper))
-            if after is not None:  # None = first page, no cursor yet
-                df = df.filter(F.col(c0) > F.lit(after))
+            ).filter(F.col(c0) <= _stat_decode_lit(c0_t, upper)))
             # collect the (<= limit rows) page so the completeness check
             # and the caller's action share ONE execution of the pruned
             # read — a page is a driver-sized object by contract (the
@@ -1268,11 +1326,7 @@ class LakeTable:
             if len(rows) >= limit:
                 return self.spark.createDataFrame(rows, df.schema)
             target *= 4  # slice came up short: widen the cutoff
-        return (
-            self.scan_range(lower=after, live_only=live_only, lower_inclusive=False)
-            .orderBy(*self.pk)
-            .limit(limit)
-        )
+        return _fallback().orderBy(*self.pk).limit(limit)
 
     def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Incremental change read (Iceberg incremental-scan / CDF analog):
@@ -1319,6 +1373,12 @@ class LakeTable:
         out_cols = [f.name for f in phys.fields] + ["_change_version"]
 
         def _manifest(v: int) -> dict:
+            if v == 0:
+                # version files start at 1, so v0 IS the pre-create empty
+                # state — changes(0, ...) means "everything since the
+                # beginning", not an expired snapshot
+                return {"files": [], "summary": {},
+                        "n_buckets": self.n_buckets, "properties": {}}
             try:
                 return self._read_manifest(self.root, v)
             except FileNotFoundError:
@@ -1633,6 +1693,13 @@ class LakeTable:
         if fence and self._fence_applied(fence):
             return MergeStats(skipped=True, version=self.version)
         mode = mode or self.properties.get("merge_mode", "upsert")
+        if mode not in ("append", "upsert"):
+            # a typo'd merge_mode would otherwise silently select the
+            # copy-on-write upsert path — O(touched buckets) per batch
+            # instead of O(batch), with nothing pointing at the cause
+            raise ValueError(
+                f"unknown merge mode {mode!r} (expected 'append' or 'upsert')"
+            )
         src = self._with_meta_defaults(source)
         # in-batch collapse is required for upsert (one row per key before
         # the COW union) but OPTIONAL for append: the LWW read/compact
@@ -1668,7 +1735,10 @@ class LakeTable:
                 skipped=not committed, version=self.version,
                 touched_buckets=len(touched) if committed else 0,
                 total_buckets=self.n_buckets,
-                rows_written=len(entries) if committed else 0,
+                rows_written=(
+                    sum(int(e.get("rows") or 0) for e in entries)
+                    if committed else 0
+                ),
             )
 
         # upsert (copy-on-write): need src twice (bucket discovery + merge)
@@ -1745,7 +1815,7 @@ class LakeTable:
                 source_rows=n_src,
                 touched_buckets=len(touched),
                 total_buckets=self.n_buckets,
-                rows_written=len(entries),
+                rows_written=sum(int(e.get("rows") or 0) for e in entries),
             )
         finally:
             src.unpersist()
@@ -1977,6 +2047,9 @@ class LakeTable:
             "local_compact_cap_bytes": cap,
             "over_cap_buckets": over[:32],
             "n_over_cap_buckets": len(over),
+            # True while any file still carries a non-current modulus — an
+            # interrupted migration that rebucket(n_buckets) RESUMES
+            "rebucket_in_progress": mid_rebucket,
             # point-lookup skipping coverage: files with a PK bloom sidecar
             # (built by the local compact/merge tasks) vs total — low
             # coverage on a lookup-heavy table means "run compact"
@@ -2135,12 +2208,23 @@ class LakeTable:
             null_cond = null_cond | F.col(c).isNull()
         null_pk = df.filter(null_cond).count()
         dirty = self._dirty_buckets()
-        clean_sel = [f["bucket"] for f in files if f["bucket"] not in dirty]
+        # audit only buckets under the CURRENT modulus, selected by exact
+        # file predicate: a buckets= read resolves through _bucket_overlap,
+        # whose conservative keep-everything fallback for non-dividing
+        # moduli would pull dirty/legacy files into the "clean" read
+        # mid-rebucket and report duplicate keys on a healthy table
+        clean_sel = {
+            f["bucket"] for f in files
+            if self._file_mod(f) == self.n_buckets and f["bucket"] not in dirty
+        }
         dup_collapsed = 0
         if clean_sel:
             clean = self.read(
-                buckets=sorted(set(clean_sel)), live_only=False,
-                with_meta=True, collapse=False,
+                live_only=False, with_meta=True, collapse=False,
+                file_pred=lambda e: (
+                    self._file_mod(e) == self.n_buckets
+                    and e["bucket"] in clean_sel
+                ),
             )
             dup_collapsed = (
                 clean.groupBy(*self.pk).count().filter(F.col("count") > 1).count()
@@ -2541,7 +2625,10 @@ class LakeTable:
             df = self.read(buckets=sel, live_only=False, with_meta=True)
         df = df.withColumn("_bucket", self._bucket_expr())
         if purge_tombstones:
-            df = df.filter(~F.col(IS_DELETE))
+            # null-safe: read() serves _is_delete=NULL rows as LIVE
+            # (coalesce to false) and the Arrow path fill_nulls the same
+            # way — a bare ~NULL here would silently drop them instead
+            df = df.filter(~F.coalesce(F.col(IS_DELETE), F.lit(False)))
         # size-aware write width: at scale the rewrite must bound OUTPUT
         # file size (a 10GB bucket as one file breaks task-level
         # parallelism for every later read), so the partition count also
@@ -2581,7 +2668,8 @@ class LakeTable:
         )
         return sel
 
-    def rebucket(self, new_n_buckets: int, group: int = 8) -> dict:
+    def rebucket(self, new_n_buckets: int, group: int = 8,
+                 max_groups: int | None = None) -> dict:
         """ONLINE re-bucketing: change the table's bucket modulus without a
         stop-the-world rewrite — the operation a sharded ClickHouse cluster
         cannot do (resharding `pkg/ckgroup/ckgroup.go:12-47` means manual
@@ -2609,12 +2697,20 @@ class LakeTable:
         3. Done when no differently-bucketed file remains.
 
         Resumable by construction: re-running after a crash just continues
-        with whatever legacy files are left. Returns a summary dict."""
+        with whatever legacy files are left — calling with the CURRENT
+        n_buckets while legacy-modulus files remain resumes an interrupted
+        migration (a true no-op only when nothing is left to rewrite).
+        ``max_groups`` bounds ONE call's rewrite work (groups of ``group``
+        old buckets each) so an in-loop maintenance tick never stalls
+        O(table); the summary's ``done`` flag says whether legacy files
+        remain — callers repeat until done. Returns a summary dict."""
         new_n = int(new_n_buckets)
         if new_n <= 0:
             raise ValueError("n_buckets must be positive")
-        if new_n == self.n_buckets:
-            return {"rewritten_files": 0, "commits": 0,
+        if new_n == self.n_buckets and all(
+            self._file_mod(f) == new_n for f in self.manifest["files"]
+        ):
+            return {"rewritten_files": 0, "commits": 0, "done": True,
                     "n_buckets": self.n_buckets, "version": self.version}
 
         # phase 1: flip the modulus (skip if a prior attempt already did)
@@ -2644,6 +2740,8 @@ class LakeTable:
 
         # phase 2: rewrite legacy files group-by-group
         rewritten = 0
+        groups_done = 0
+        legacy_left = False
         while True:
             self._reload_latest()
             # phys/schema_id must come from the manifest THIS iteration's
@@ -2657,6 +2755,9 @@ class LakeTable:
                 if self._file_mod(f) != new_n
             ]
             if not legacy:
+                break
+            if max_groups is not None and groups_done >= max_groups:
+                legacy_left = True
                 break
             by_old: dict[tuple, list[dict]] = {}
             for f in legacy:
@@ -2677,8 +2778,10 @@ class LakeTable:
             )
             commits += 1
             rewritten += len(batch)
+            groups_done += 1
         return {"rewritten_files": rewritten, "commits": commits,
-                "n_buckets": new_n, "version": self.version}
+                "done": not legacy_left, "n_buckets": new_n,
+                "version": self.version}
 
     def purge_where(self, condition) -> dict:
         """Physically remove every key whose CURRENT live row matches

@@ -105,6 +105,10 @@ class JobSpec:
     #: the modulus away.
     auto_rebucket: bool = False
     auto_rebucket_max_n: int = 4096
+    #: rewrite budget per maintenance tick, in groups of 8 old buckets —
+    #: a tick never stalls ingest O(table); the migration continues (and
+    #: resumes after a crash) across later ticks via the in-progress branch
+    auto_rebucket_groups_per_tick: int = 8
 
 
 def discover_and_evolve(
@@ -307,24 +311,48 @@ class IncrementalSync:
                 )
             if self.spec.auto_rebucket:
                 st = table.stats()
-                sugg = int(st.get("rebucket_suggested_n") or 0)
-                # stats() withholds the suggestion while a rebucket is in
-                # flight (any file modulus != n_buckets), so no in-progress
-                # check needed here. Clamp by HALVING, not min(): the
-                # suggestion is a power-of-two multiple of n_buckets (what
-                # keeps _bucket_overlap exact during the migration) and
-                # min() could land on a modulus sharing no factor with it,
-                # degrading every mid-migration read to a full-manifest scan
-                target = sugg
-                while target > self.spec.auto_rebucket_max_n:
-                    target //= 2
-                if target > table.n_buckets:
-                    rb = table.rebucket(target)
+                per_tick = max(1, int(self.spec.auto_rebucket_groups_per_tick))
+                if st.get("rebucket_in_progress"):
+                    # an earlier tick (or a crashed driver) left the
+                    # migration incomplete: RESUME at the already-committed
+                    # target — stats() withholds suggestions in this state,
+                    # so without this branch the table would stay on the
+                    # degraded conservative-overlap paths forever
+                    rb = table.rebucket(table.n_buckets, max_groups=per_tick)
                     maintained["rebucket"] = {
-                        "to": target,
+                        "to": table.n_buckets, "resumed": True,
+                        "done": rb.get("done"),
                         "rewritten_files": rb.get("rewritten_files"),
                         "commits": rb.get("commits"),
                     }
+                else:
+                    sugg = int(st.get("rebucket_suggested_n") or 0)
+                    # clamp by HALVING, not min(): the suggestion is a
+                    # power-of-two multiple of n_buckets (what keeps
+                    # _bucket_overlap exact during the migration) and min()
+                    # could land on a modulus sharing no factor with it,
+                    # degrading every mid-migration read to a full scan
+                    max_n = max(1, int(self.spec.auto_rebucket_max_n))
+                    target = sugg
+                    while target > max_n:
+                        target //= 2
+                    if target > table.n_buckets:
+                        # max_groups bounds THIS tick's rewrite work; the
+                        # resume branch above finishes the migration across
+                        # later ticks, so ingest never stalls O(table)
+                        rb = table.rebucket(target, max_groups=per_tick)
+                        maintained["rebucket"] = {
+                            "to": target, "done": rb.get("done"),
+                            "rewritten_files": rb.get("rewritten_files"),
+                            "commits": rb.get("commits"),
+                        }
+                    elif sugg:
+                        # heal requested but blocked by the cap — surface
+                        # it in lineage instead of silently dropping it
+                        maintained["rebucket"] = {
+                            "blocked": True, "suggested": sugg,
+                            "max_n": max_n,
+                        }
         deduped: dict | None = None
         d_every = self.spec.dedup_every_batches
         if (self.spec.dedup_dst and d_every and not stats.skipped

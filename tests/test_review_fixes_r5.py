@@ -237,3 +237,290 @@ def test_ann_index_sync_half_created_dst_recovers(spark, tmp_path):
             for r in ann_topk(spark, root, q, k=3, dim=8).collect())
 
     assert topk(half) == topk(clean) and topk(half)
+
+
+# ---- table.py deep-review fixes ------------------------------------------
+
+def _kv_table(spark, tmp_path, name, **props):
+    schema = T.StructType([
+        T.StructField("k", T.LongType(), False),
+        T.StructField("v", T.StringType()),
+        T.StructField("ver", T.LongType()),
+    ])
+    return LakeTable.create(
+        spark, str(tmp_path / name), schema, pk=["k"], version_cols=["ver"],
+        n_buckets=4, properties=props)
+
+
+def test_bucket_overlap_empty_want_matches_nothing():
+    from cds_spark.lake.table import _bucket_overlap
+
+    # unrelated moduli used to fall through to the conservative True,
+    # turning a read of ZERO buckets into a full-table scan mid-rebucket
+    assert _bucket_overlap(3, 4, set(), 6) is False
+    assert _bucket_overlap(3, 4, set(), 4) is False
+    assert _bucket_overlap(3, 4, set(), 8) is False
+
+
+def test_read_empty_bucket_list_is_empty_mid_rebucket(spark, tmp_path):
+    t = _kv_table(spark, tmp_path, "er", merge_mode="append")
+    t.merge(spark.range(0, 200).selectExpr(
+        "id AS k", "concat('v', id) AS v", "id AS ver"))
+    m = t._next_manifest({"operation": "rebucket-begin"})
+    for f in m["files"]:
+        f.setdefault("mod", 4)
+    m["n_buckets"] = 6  # non-dividing vs 4: the conservative-overlap case
+    t._commit(m)
+    t2 = LakeTable.load(spark, t.root)
+    assert t2.read(buckets=[]).count() == 0
+
+
+def test_merge_stats_rows_written_counts_rows(spark, tmp_path):
+    t = _kv_table(spark, tmp_path, "rw", merge_mode="append")
+    st = t.merge(spark.range(0, 500).selectExpr(
+        "id AS k", "concat('v', id) AS v", "id AS ver"))
+    assert st.rows_written == 500
+    t2 = _kv_table(spark, tmp_path, "rw2", merge_mode="upsert")
+    st2 = t2.merge(spark.range(0, 300).selectExpr(
+        "id AS k", "concat('v', id) AS v", "id AS ver"))
+    assert st2.rows_written == 300
+
+
+def test_merge_rejects_unknown_mode(spark, tmp_path):
+    t = _kv_table(spark, tmp_path, "badmode")
+    batch = spark.range(0, 5).selectExpr(
+        "id AS k", "concat('v', id) AS v", "id AS ver")
+    with pytest.raises(ValueError, match="unknown merge mode"):
+        t.merge(batch, mode="appned")
+    t2 = _kv_table(spark, tmp_path, "badprop", merge_mode="Append")
+    with pytest.raises(ValueError, match="unknown merge mode"):
+        t2.merge(batch)
+
+
+def test_changes_from_zero_is_full_history(spark, tmp_path):
+    t = _kv_table(spark, tmp_path, "ch0", merge_mode="append")
+    t.merge(spark.range(0, 50).selectExpr(
+        "id AS k", "concat('v', id) AS v", "id AS ver"))
+    t.merge(spark.range(50, 80).selectExpr(
+        "id AS k", "concat('v', id) AS v", "id AS ver"))
+    got = {r.k for r in t.changes(0).collect()}
+    assert got == set(range(80))
+
+
+def test_exists_true_without_current_pointer(spark, tmp_path):
+    t = _kv_table(spark, tmp_path, "ex")
+    cur = os.path.join(t.root, "_meta", "_current")
+    os.remove(cur)  # crash window between manifest write and pointer write
+    assert LakeTable.exists(t.root)
+    assert LakeTable.load(spark, t.root).version >= 1
+    assert not LakeTable.exists(str(tmp_path / "never_created"))
+
+
+def test_compact_purge_keeps_null_is_delete_rows(spark, tmp_path):
+    """read() serves _is_delete=NULL rows as live; purge compaction must
+    not silently drop them (non-null-safe ~NULL used to)."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    t = _kv_table(spark, tmp_path, "nulldel", merge_mode="append")
+    t.merge(spark.range(0, 120).selectExpr(
+        "id AS k", "concat('v', id) AS v", "id AS ver"))
+    live_before = t.current().count()
+    # rewrite one data file with _is_delete := NULL (legacy/external writer)
+    f0 = t.manifest["files"][0]
+    path = os.path.join(t.root, f0["path"])
+    tbl = pq.read_table(path)
+    i = tbl.schema.get_field_index("_is_delete")
+    tbl = tbl.set_column(i, tbl.schema.field(i),
+                         pa.nulls(len(tbl), pa.bool_()))
+    pq.write_table(tbl, path)
+    t = LakeTable.load(spark, t.root)
+    assert t.current().count() == live_before  # read() coalesces NULL->live
+    t.compact(purge_tombstones=True, strategy="classic")
+    t = LakeTable.load(spark, t.root)
+    assert t.current().count() == live_before, "purge dropped NULL-flag rows"
+
+
+def test_validate_no_false_dups_mid_rebucket_nondividing(spark, tmp_path):
+    """Mid-rebucket between non-dividing moduli, the clean-bucket dup audit
+    used to pull dirty legacy files in through the conservative overlap and
+    report duplicate keys on a healthy table."""
+    t = _kv_table(spark, tmp_path, "vdup", merge_mode="append",
+                  append_inbatch_collapse=True)
+    batch = spark.range(0, 400).selectExpr(
+        "id AS k", "concat('v', id) AS v", "id AS ver")
+    t.merge(batch)
+    # a second generation for bucket 0 ONLY -> bucket 0 dirty, others clean
+    t.merge(batch.filter(F.pmod(F.xxhash64("k"), F.lit(4)) == 0)
+            .selectExpr("k", "concat('w', k) AS v", "ver + 1000 AS ver"))
+    m = t._next_manifest({"operation": "rebucket-begin"})
+    for f in m["files"]:
+        f.setdefault("mod", 4)
+    m["n_buckets"] = 6  # 4 vs 6: neither divides the other
+    t._commit(m)
+    res = LakeTable.load(spark, t.root).validate()
+    assert res["dup_collapsed_keys"] == 0, res
+    assert res["ok"], res
+
+
+def test_keyset_page_composite_pk_tuple_cursor(spark, tmp_path):
+    """Composite-PK pages take the full PK tuple as the cursor and apply
+    the lexicographic comparison — a page boundary mid-leading-value must
+    not skip the remaining rows that share it."""
+    schema = T.StructType([
+        T.StructField("region", T.StringType(), False),
+        T.StructField("id", T.LongType(), False),
+        T.StructField("v", T.StringType()),
+        T.StructField("ver", T.LongType()),
+    ])
+    root = str(tmp_path / "cp")
+    t = LakeTable.create(spark, root, schema, pk=["region", "id"],
+                         version_cols=["ver"], n_buckets=2,
+                         properties={"merge_mode": "upsert"})
+    t.merge(spark.range(0, 900).selectExpr(
+        "concat('r', id % 3) AS region", "id AS id",
+        "concat('v', id) AS v", "id AS ver"))
+    expected = [(r.region, r.id) for r in
+                t.current().orderBy("region", "id").collect()]
+    got, cursor = [], None
+    while True:
+        page = [(r.region, r.id) for r in t.keyset_page(cursor, 100).collect()]
+        if not page:
+            break
+        got.extend(page)
+        cursor = page[-1]
+    assert got == expected and len(got) == 900
+    with pytest.raises(ValueError, match="full PK tuple"):
+        t.keyset_page("r1", 10)
+    with pytest.raises(ValueError, match="does not match pk"):
+        t.keyset_page(("r1",), 10)
+
+
+# ---- rebucket resume + per-tick bounding ----------------------------------
+
+def _begin_crash_state(spark, t, to_n):
+    """Replicate a crash right after rebucket-begin: mods stamped,
+    n_buckets flipped, zero rewrites done."""
+    m = t._next_manifest({"operation": "rebucket-begin",
+                          "from_buckets": t.n_buckets, "to_buckets": to_n})
+    old = t.n_buckets
+    m["files"] = [f if "mod" in f else {**f, "mod": old} for f in m["files"]]
+    m["n_buckets"] = to_n
+    t._commit(m)
+    return LakeTable.load(spark, t.root)
+
+
+def test_rebucket_same_target_resumes_after_begin_crash(spark, tmp_path):
+    """rebucket(current n_buckets) with legacy files left must RESUME the
+    interrupted migration, not early-return as a no-op (the documented
+    crash remedy was broken)."""
+    t = _kv_table(spark, tmp_path, "resume", merge_mode="upsert")
+    t.merge(spark.range(0, 400).selectExpr(
+        "id AS k", "concat('v', id) AS v", "id AS ver"))
+    before = {r.k: r.v for r in t.current().collect()}
+    t = _begin_crash_state(spark, t, 16)
+    assert t.stats()["rebucket_in_progress"]
+    res = t.rebucket(16)  # same target: resume
+    assert res["done"] and res["rewritten_files"] > 0
+    t = LakeTable.load(spark, t.root)
+    assert {t._file_mod(f) for f in t.manifest["files"]} == {16}
+    assert {r.k: r.v for r in t.current().collect()} == before
+    assert not t.stats()["rebucket_in_progress"]
+    # and a true no-op stays a no-op
+    assert t.rebucket(16) == {"rewritten_files": 0, "commits": 0,
+                              "done": True, "n_buckets": 16,
+                              "version": t.version}
+
+
+def test_rebucket_max_groups_bounds_one_call(spark, tmp_path):
+    t = _kv_table(spark, tmp_path, "bounded", merge_mode="upsert")
+    t.merge(spark.range(0, 400).selectExpr(
+        "id AS k", "concat('v', id) AS v", "id AS ver"))
+    before = {r.k: r.v for r in t.current().collect()}
+    res = t.rebucket(16, group=1, max_groups=1)
+    assert not res["done"]  # 4 old buckets, only 1 rewritten
+    t = LakeTable.load(spark, t.root)
+    assert t.stats()["rebucket_in_progress"]
+    assert {r.k: r.v for r in t.current().collect()} == before  # mid-state reads exact
+    rounds = 0
+    while not t.rebucket(16, group=1, max_groups=1)["done"]:
+        rounds += 1
+        assert rounds < 10
+    t = LakeTable.load(spark, t.root)
+    assert {t._file_mod(f) for f in t.manifest["files"]} == {16}
+    assert {r.k: r.v for r in t.current().collect()} == before
+
+
+def test_pipeline_auto_rebucket_resumes_interrupted(spark, tmp_path):
+    """A sync job pointed at a table left mid-rebucket by a crashed driver
+    must finish the migration from its maintenance ticks."""
+    from cds_spark.streaming.pipeline import IncrementalSync, JobSpec
+    from cds_spark.sources.feed import (REPO_SCHEMA, change_feed,
+                                        write_feed_files,
+                                        reference_replay_pandas)
+
+    feed = change_feed(spark, 1200, n_repos=10, paths_per_repo=20, seed=9)
+    oracle = reference_replay_pandas([r.asDict() for r in feed.collect()])
+    topic = str(tmp_path / "topic")
+    write_feed_files(feed, topic, 3)
+    t = LakeTable.create(
+        spark, str(tmp_path / "repos"), REPO_SCHEMA, pk=["repo", "path"],
+        version_cols=["commit", "_offset"], n_buckets=2)
+    # pre-crash data written under the OLD modulus — these are the legacy
+    # files the interrupted migration must finish rewriting
+    seed = spark.range(0, 80).selectExpr(
+        "'seedrepo' AS repo", "concat('f', id) AS path",
+        "'c0' AS commit", "'py' AS lang", "concat('body', id) AS content",
+        "cast(id AS long) AS _offset")
+    t.merge(seed)
+    t = _begin_crash_state(spark, t, 8)  # crashed mid-migration
+    assert t.stats()["rebucket_in_progress"]
+    # compact_max_generations high: the tick's compact must NOT be what
+    # drains the legacy files (at scale cold buckets never trip it) — the
+    # resume branch has to do it
+    spec = JobSpec(job_id="rz", table_root=t.root, source_dir=topic,
+                   checkpoint_dir=str(tmp_path / "ckpt"),
+                   max_files_per_trigger=1, merge_mode="append",
+                   maintenance_every_batches=1, compact_max_generations=100,
+                   auto_rebucket=True)
+    IncrementalSync(spark, spec).run_available()
+    t = LakeTable.load(spark, t.root)
+    assert {t._file_mod(f) for f in t.manifest["files"]} <= {t.n_buckets}
+    live = {(r.repo, r.path): r.content for r in t.current().collect()}
+    seed_keys = {("seedrepo", f"f{i}") for i in range(80)}
+    assert len(live) == len(oracle) + len(seed_keys)
+    assert all(live[k] == v["content"] for k, v in oracle.items())
+    assert all(k in live for k in seed_keys)
+    recs = [json.loads(l) for l in open(
+        os.path.join(t.root, "_lineage", "rz.jsonl"))]
+    rbs = [r["maintenance"]["rebucket"] for r in recs
+           if r.get("maintenance") and r["maintenance"].get("rebucket")]
+    assert any(rb.get("resumed") for rb in rbs), rbs
+
+
+def test_auto_rebucket_negative_max_n_does_not_hang(spark, tmp_path):
+    """auto_rebucket_max_n=-1 (a jobs.json 'disable' guess) used to spin
+    the clamp loop forever inside foreachBatch."""
+    from cds_spark.streaming.pipeline import IncrementalSync, JobSpec
+    from cds_spark.sources.feed import REPO_SCHEMA, change_feed, write_feed_files
+
+    feed = change_feed(spark, 600, n_repos=5, paths_per_repo=10, seed=3)
+    topic = str(tmp_path / "topic")
+    write_feed_files(feed, topic, 2)
+    LakeTable.create(
+        spark, str(tmp_path / "repos"), REPO_SCHEMA, pk=["repo", "path"],
+        version_cols=["commit", "_offset"], n_buckets=2,
+        properties={"local_compact_max_bucket_bytes": 1_000})
+    spec = JobSpec(job_id="ng", table_root=str(tmp_path / "repos"),
+                   source_dir=topic, checkpoint_dir=str(tmp_path / "ckpt"),
+                   max_files_per_trigger=1, merge_mode="append",
+                   maintenance_every_batches=1, compact_max_generations=1,
+                   auto_rebucket=True, auto_rebucket_max_n=-1)
+    IncrementalSync(spark, spec).run_available()  # completes = no hang
+    t = LakeTable.load(spark, str(tmp_path / "repos"))
+    assert t.n_buckets == 2  # heal blocked by the cap, recorded not executed
+    recs = [json.loads(l) for l in open(
+        os.path.join(t.root, "_lineage", "ng.jsonl"))]
+    blocked = [r["maintenance"]["rebucket"] for r in recs
+               if r.get("maintenance") and r["maintenance"].get("rebucket")]
+    assert blocked and all(b.get("blocked") for b in blocked)
