@@ -21,10 +21,17 @@ Per tick (``ann_index_sync``, D = changed vectors):
 3. old buckets point-fetched via the vecs table's bucket-pruned lookup —
    a bucket MOVE (or delete) tombstones the stale (old_bucket, vec_id)
    index row; an in-place update just LWW-overwrites.
-4. fenced merges: index first, vecs last — the cursor is the vecs fence,
-   so any crash replays idempotently (the old-bucket lookup still sees
-   the pre-update vecs state, reproducing identical tombstones; the index
-   merge is fence-skipped).
+4. fenced merges: index first, vecs last — the cursor is the vecs fence.
+   A crash between the two merges leaves the index fence AHEAD of the
+   cursor; if the source advanced again before the retry, the crashed
+   tick's postings can be "ghosts" (written at buckets the retry no
+   longer computes). The retry detects the fence asymmetry and
+   reconciles exactly: it recomputes the crashed tick's bucket state
+   from the same ``changes()`` window and tombstones any interim bucket
+   that differs from the one being asserted now — O(delta). If the
+   window itself has become unreadable (mutation / expired), the tick
+   falls back to a full refresh whose index anti-join retires every
+   posting the rebuild does not reassert.
 
 Serving (``ann_topk``): queries are bucketed (+ optional Hamming-1
 multi-probe, Lv et al. VLDB'07), the index is read through a manifest
@@ -118,13 +125,44 @@ def ann_index_sync(
     if from_v >= v2:
         return {"applied": 0, "from": from_v, "to": v2, "skipped": True}
 
-    if from_v == 0:
+    # fence asymmetry probe: a crash between the index merge (fenced at
+    # vi) and the vecs merge (cursor still from_v) leaves postings the
+    # vecs table doesn't know about — "ghosts" if the vector moved again
+    # before the retry. vi > from_v means exactly that happened.
+    vi_raw = index.properties.get(f"fence.{job_id}")
+    vi = int(vi_raw) if vi_raw is not None else from_v
+
+    refreshed = False
+    ch = interim = None
+    if from_v > 0:
+        try:
+            ch = src.changes(from_v, v2)
+            if vi > from_v:
+                interim = src.changes(from_v, vi)
+        except ValueError:
+            # mutation snapshot (purge/update/overwrite) or expired window
+            # in (from_v, v2]: incremental reads are impossible — full
+            # refresh, the same rule cascade_sync / dedup_sync apply.
+            # Without this every later tick re-raises forever and the
+            # in-loop pipeline call kills the ingest stream.
+            refreshed = True
+
+    if from_v == 0 or refreshed:
+        # bootstrap / full refresh: the live corpus is the upsert delta;
+        # a refresh additionally tombstones every indexed key no longer
+        # in the corpus (via vecs, the identity table)
         delta = (src.current()
                  .select(F.col(id_col).alias("vec_id"),
                          F.col(vec_col).alias("v"))
                  .withColumn(IS_DELETE, F.lit(False)))
+        if refreshed:
+            gone = (vecs.current().select("vec_id")
+                    .join(delta.select("vec_id"), "vec_id", "left_anti")
+                    .withColumn("v", F.lit(None).cast(VEC_T))
+                    .withColumn(IS_DELETE, F.lit(True))
+                    .select("vec_id", "v", IS_DELETE))
+            delta = delta.unionByName(gone)
     else:
-        ch = src.changes(from_v, v2)
         vcols = ["_change_version"] + [
             c for c in list(src.version_cols) + [OFFSET] if c in ch.columns]
         ch = lww_collapse(ch, [id_col], vcols)
@@ -137,25 +175,70 @@ def ann_index_sync(
         F.when(~F.col(IS_DELETE), _bucket_expr(F.col("v"), dim))
     ).persist()
 
-    # old bucket of every changed key: bucket-pruned point fetch, O(D)
-    old = (vecs.lookup(delta.select("vec_id"))
-           .select("vec_id", F.col("bucket").alias("old_bucket")))
-    moved = delta.join(old, "vec_id")   # inner: keys the index knows already
-
     ver = F.lit(v2).cast("long")
     upserts = (delta.filter(~F.col(IS_DELETE))
                .select(F.col("new_bucket").alias("bucket"), "vec_id",
                        F.col("v").alias("embedding"), ver.alias("ver"),
                        F.lit(False).alias(IS_DELETE)))
-    # a delete, or an update whose vector crossed a hyperplane, leaves a
-    # stale posting at the OLD bucket — tombstone exactly those
-    tombs = (moved
-             .filter(F.col(IS_DELETE)
-                     | (F.col("old_bucket") != F.col("new_bucket")))
-             .select(F.col("old_bucket").alias("bucket"), "vec_id",
-                     F.lit(None).cast(VEC_T).alias("embedding"),
-                     ver.alias("ver"), F.lit(True).alias(IS_DELETE)))
-    istats = index.merge(upserts.unionByName(tombs), fence=(job_id, v2))
+
+    def _tomb(df: DataFrame) -> DataFrame:
+        return df.select(
+            "bucket", "vec_id", F.lit(None).cast(VEC_T).alias("embedding"),
+            ver.alias("ver"), F.lit(True).alias(IS_DELETE))
+
+    if from_v == 0 and not index.manifest["files"]:
+        # clean bootstrap: no old postings to retire — skip the old-bucket
+        # lookup entirely (it would collect the WHOLE corpus's keys to the
+        # driver to prune buckets of a table known to hold nothing)
+        tombs = None
+    elif from_v == 0 or refreshed:
+        # rebuild over a non-empty index (full refresh, or a bootstrap
+        # retry after a crash mid-first-tick): retire EVERY live posting
+        # the rebuild does not reassert — one O(index) anti-join that
+        # also clears any ghost postings, since no incremental window
+        # read is available to reconcile them exactly
+        tombs = _tomb(
+            index.current().select("bucket", "vec_id")
+            .join(upserts.select("bucket", "vec_id"),
+                  ["bucket", "vec_id"], "left_anti"))
+    else:
+        # old bucket of every changed key: bucket-pruned point fetch, O(D)
+        old = (vecs.lookup(delta.select("vec_id"))
+               .select("vec_id", F.col("bucket").alias("old_bucket")))
+        moved = delta.join(old, "vec_id")   # inner: keys the index knows
+        # a delete, or an update whose vector crossed a hyperplane, leaves
+        # a stale posting at the OLD bucket — tombstone exactly those
+        tombs = _tomb(
+            moved.filter(F.col(IS_DELETE)
+                         | (F.col("old_bucket") != F.col("new_bucket")))
+            .select(F.col("old_bucket").alias("bucket"), "vec_id"))
+        if interim is not None:
+            # ghost reconciliation: the crashed tick wrote postings at the
+            # buckets of the vi-state of these keys; recompute that state
+            # (O(delta), same changes read) and tombstone any interim
+            # bucket that differs from the bucket being asserted now.
+            # Every interim key is in delta ((from_v, vi] ⊆ (from_v, v2]),
+            # and interim_bucket != new_bucket keeps ghost tombstones
+            # PK-disjoint from the upserts (no same-version LWW tie).
+            ivcols = ["_change_version"] + [
+                c for c in list(src.version_cols) + [OFFSET]
+                if c in interim.columns]
+            istate = (
+                lww_collapse(interim, [id_col], ivcols)
+                .filter(~F.coalesce(F.col(IS_DELETE), F.lit(False)))
+                .select(F.col(id_col).alias("vec_id"),
+                        _bucket_expr(F.col(vec_col), dim)
+                         .alias("interim_bucket")))
+            ghost = (delta.join(istate, "vec_id")
+                     .filter(F.col("new_bucket").isNull()
+                             | (F.col("interim_bucket")
+                                != F.col("new_bucket")))
+                     .select(F.col("interim_bucket").alias("bucket"),
+                             "vec_id"))
+            tombs = tombs.unionByName(_tomb(ghost))
+
+    rows = upserts if tombs is None else upserts.unionByName(tombs)
+    istats = index.merge(rows, fence=(job_id, v2))
 
     vec_rows = (delta.select(
         "vec_id", F.col("new_bucket").alias("bucket"), ver.alias("ver"),
@@ -167,6 +250,7 @@ def ann_index_sync(
     return {"applied": int(vstats.rows_written),
             "index_rows_written": int(istats.rows_written),
             "from": from_v, "to": v2, "skipped": False,
+            "refreshed": refreshed, "reconciled": interim is not None,
             "duration_s": round(time.time() - t0, 3)}
 
 

@@ -56,13 +56,12 @@ from cds_spark.lake.table import IS_DELETE, LakeTable, OFFSET
 from cds_spark.operators.dedup import lww_collapse
 from cds_spark.operators.textdedup import (
     JACCARD_THRESHOLD,
-    MINHASH_P,
     N_BANDS,
     N_HASHES,
     _band_key,
-    _stable_hash_expr,
+    jaccard_expr,
     minhash_signatures,
-    shingles,
+    shingle_sets,
 )
 
 #: composite-PK identity separator (ASCII unit separator — cannot occur in
@@ -108,16 +107,10 @@ def _sig_rows(docs: DataFrame) -> DataFrame:
     return sig.select("doc_id", digest.alias("sig_md5"), bands.alias("bands"))
 
 
-def _ssets(docs: DataFrame) -> DataFrame:
-    """(doc_id, sset): stable-hashed shingle sets for exact-Jaccard verify
-    (identical hashing to textdedup.minhash_lsh_pairs)."""
-    return (
-        shingles(docs)
-        .select("doc_id",
-                F.pmod(_stable_hash_expr(F.col("s")), F.lit(MINHASH_P)).alias("h"))
-        .groupBy("doc_id")
-        .agg(F.collect_set("h").alias("sset"))
-    )
+# exact-Jaccard verify inputs: textdedup.shingle_sets / jaccard_expr — the
+# SAME functions the batch operator uses, so incremental==batch holds by
+# construction (no parallel-maintained hashing/scoring copies here)
+_ssets = shingle_sets
 
 
 def _validated_pairs(sigs: LakeTable, pairs: LakeTable) -> DataFrame:
@@ -229,15 +222,36 @@ def dedup_sync(
         return {"applied": 0, "from": from_v, "to": v2, "skipped": True}
 
     key_sel = [F.col(c).alias(f"k_{c}") for c in pk]
-    if from_v == 0:
-        # bootstrap: the full live corpus is the delta (tombstones carry
-        # no signature, so they are irrelevant to a fresh sigs table)
-        delta = (src.current()
-                 .select(identity.alias("doc_id"), *key_sel,
-                         F.col(text_col).alias("text"))
-                 .withColumn(IS_DELETE, F.lit(False)))
+    refreshed = False
+    ch = None
+    if from_v > 0:
+        try:
+            ch = src.changes(from_v, v2)
+        except ValueError:
+            # mutation snapshot (purge/update/overwrite) or expired window
+            # in (from_v, v2]: incremental reads are impossible — fall back
+            # to a full refresh, the same rule cascade_sync applies.
+            # Without this, every later tick re-raises forever and the
+            # in-loop pipeline call kills the ingest stream.
+            refreshed = True
+    if from_v == 0 or refreshed:
+        # bootstrap / full refresh: the live corpus is the upsert delta;
+        # a refresh additionally tombstones every signed doc no longer in
+        # the corpus (a bootstrap has no prior signatures to retire)
+        live = (src.current()
+                .select(identity.alias("doc_id"), *key_sel,
+                        F.col(text_col).alias("text"))
+                .withColumn(IS_DELETE, F.lit(False)))
+        if refreshed:
+            gone = (sigs.current().select("doc_id", *kcols)
+                    .join(live.select("doc_id"), "doc_id", "left_anti")
+                    .withColumn("text", F.lit(None).cast("string"))
+                    .withColumn(IS_DELETE, F.lit(True))
+                    .select("doc_id", *kcols, "text", IS_DELETE))
+            delta = live.unionByName(gone)
+        else:
+            delta = live
     else:
-        ch = src.changes(from_v, v2)
         vcols = ["_change_version"] + [
             c for c in list(src.version_cols) + [OFFSET] if c in ch.columns]
         ch = lww_collapse(ch, pk, vcols)
@@ -254,13 +268,24 @@ def dedup_sync(
                 .select("doc_id", *kcols, "sig_md5", "bands")
                 .persist())
 
+    # an upserted doc whose new text yields NO shingles (shorter than the
+    # shingle width, or NULL) must TOMBSTONE its old signature: leaving
+    # the stale digest live would keep its old pairs valid forever and
+    # diverge from a batch run on the v2 corpus (which drops the doc)
+    no_sig = (ups.select("doc_id", *kcols)
+              .join(new_sigs.select("doc_id"), "doc_id", "left_anti"))
+
     # post-state signature view: current sigs minus every delta key, plus
     # the new signatures — exactly what the sigs table will hold after the
-    # merge below, so candidate generation matches a batch run on v2 state
+    # merge below, so candidate generation matches a batch run on v2 state.
+    # Persisted: four downstream consumers (band explode, partner-key
+    # fetch, both digest joins) would otherwise each re-run the sigs scan
+    # + LWW collapse + anti-join — the dominant per-tick corpus term.
     delta_keys = delta.select("doc_id").distinct()
     post = (sigs.current().select("doc_id", *kcols, "sig_md5", "bands")
             .join(delta_keys, "doc_id", "left_anti")
-            .unionByName(new_sigs))
+            .unionByName(new_sigs)
+            .persist())
 
     nb_ = new_sigs.select(
         "doc_id", F.posexplode("bands").alias("band_id", "band_key"))
@@ -289,15 +314,13 @@ def dedup_sync(
                .select(identity.alias("doc_id"),
                        F.col(text_col).alias("text")))
     ss = _ssets(ups.select("doc_id", "text").unionByName(fetched))
-    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
-    union = (F.size("sa") + F.size("sb")).cast("double") - inter
     new_pairs = (
         cand
         .join(ss.select(F.col("doc_id").alias("doc_a"),
                         F.col("sset").alias("sa")), "doc_a")
         .join(ss.select(F.col("doc_id").alias("doc_b"),
                         F.col("sset").alias("sb")), "doc_b")
-        .withColumn("jaccard", F.round(inter / union, 6))
+        .withColumn("jaccard", jaccard_expr("sa", "sb"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .join(post.select(F.col("doc_id").alias("doc_a"),
                           F.col("sig_md5").alias("sig_a")), "doc_a")
@@ -308,16 +331,21 @@ def dedup_sync(
     )
     pstats = pairs.merge(new_pairs, fence=(job_id, v2))
 
+    tomb_sel = [
+        F.lit(None).cast("string").alias("sig_md5"),
+        F.lit(None).cast(T.ArrayType(T.StringType())).alias("bands"),
+        F.lit(v2).cast("long").alias("ver"),
+        F.lit(True).alias(IS_DELETE),
+    ]
     sig_rows = (
         new_sigs.withColumn("ver", F.lit(v2).cast("long"))
         .withColumn(IS_DELETE, F.lit(False))
         .unionByName(
-            delta.filter(F.col(IS_DELETE)).select(
-                "doc_id", *kcols,
-                F.lit(None).cast("string").alias("sig_md5"),
-                F.lit(None).cast(T.ArrayType(T.StringType())).alias("bands"),
-                F.lit(v2).cast("long").alias("ver"),
-                F.lit(True).alias(IS_DELETE)))
+            delta.filter(F.col(IS_DELETE))
+            .select("doc_id", *kcols, *tomb_sel))
+        # no-shingle upserts retire their old signature (see no_sig above);
+        # disjoint from the delete tombstones (delete rows are not in ups)
+        .unionByName(no_sig.select("doc_id", *kcols, *tomb_sel))
     )
     # the cursor advance: fence.{job_id}=v2 commits atomically with this merge
     sstats = sigs.merge(sig_rows, fence=(job_id, v2))
@@ -326,10 +354,10 @@ def dedup_sync(
     sigs.compact(max_generations=8)
     pairs.compact(max_generations=8)
 
-    for df in (cand, new_sigs, ups, delta):
+    for df in (cand, post, new_sigs, ups, delta):
         df.unpersist()
     return {
         "applied": int(sstats.rows_written), "pairs_written": int(pstats.rows_written),
-        "from": from_v, "to": v2, "skipped": False,
+        "from": from_v, "to": v2, "skipped": False, "refreshed": refreshed,
         "duration_s": round(time.time() - t0, 3),
     }

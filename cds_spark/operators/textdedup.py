@@ -224,32 +224,49 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # verify over STABLE-HASHED shingle sets (the same 31-bit hash the
-    # signatures use): long array_intersect is ~2x cheaper than UTF8String
-    # (measured 7.8s -> 4.2s on the sf0.1 verify join). A ~250-shingle doc
-    # self-collides w.p. ~250²/2³¹ ≈ 1.5e-5, shifting a pair's Jaccard by
-    # ≤ 1/|union| — immaterial for dedup thresholds and bit-identical
-    # cross-engine because the SQL oracle hashes identically.
-    sets = (
+    pairs = (
+        cand.join(shingle_sets(docs).withColumnRenamed("doc_id", "doc_a")
+                  .withColumnRenamed("sset", "sa"), "doc_a")
+        .join(shingle_sets(docs).withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("sset", "sb"), "doc_b")
+    )
+    # the O(|set|) per-pair intersection hot loop parallelizes via the
+    # session's small AQE advisory size (an extra forced repartition here
+    # shuffles the wide shingle arrays again — measured slower)
+    return (
+        pairs.withColumn("jaccard", jaccard_expr("sa", "sb"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, sset): STABLE-HASHED shingle sets — the canonical input of
+    every exact-Jaccard verify. Batch (:func:`minhash_lsh_pairs`) and
+    incremental (:mod:`cds_spark.operators.incdedup`) share this one
+    function so their incremental==batch equivalence holds by
+    construction, not by parallel-maintained copies.
+
+    Hashing note: long array_intersect is ~2x cheaper than UTF8String
+    (measured 7.8s -> 4.2s on the sf0.1 verify join). A ~250-shingle doc
+    self-collides w.p. ~250²/2³¹ ≈ 1.5e-5, shifting a pair's Jaccard by
+    ≤ 1/|union| — immaterial for dedup thresholds and bit-identical
+    cross-engine because the SQL oracle hashes identically."""
+    return (
         shingles(docs)
         .select("doc_id", F.pmod(_stable_hash_expr(F.col("s")), F.lit(MINHASH_P)).alias("h"))
         .groupBy("doc_id")
         .agg(F.collect_set("h").alias("sset"))
     )
-    pairs = (
-        cand.join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sset", "sa"), "doc_a")
-        .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sset", "sb"), "doc_b")
-    )
-    # the O(|set|) per-pair intersection hot loop parallelizes via the
-    # session's small AQE advisory size (an extra forced repartition here
-    # shuffles the wide shingle arrays again — measured slower)
-    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
-    union = (F.size("sa") + F.size("sb")).cast("double") - inter
-    return (
-        pairs.withColumn("jaccard", F.round(inter / union, 6))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+
+
+def jaccard_expr(sa: str = "sa", sb: str = "sb"):
+    """Exact Jaccard over two hashed shingle-set columns, rounded to 6dp —
+    the single definition shared with the incremental verify and matched
+    by the SQL oracle's formula."""
+    inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    union = (F.size(sa) + F.size(sb)).cast("double") - inter
+    return F.round(inter / union, 6)
 
 
 def _minhash_sig_sql() -> str:

@@ -109,12 +109,15 @@ def test_cli_lookup_and_changes(spark, tmp_path, capsys):
     )
     page1 = json.loads(_run(capsys, ["page", "--root", root, "--limit", "7"]))
     assert [(x["repo"], x["path"]) for x in page1] == cur[:7]
-    after = page1[-1]["repo"]
+    # composite PK: the cursor is the full tuple as a JSON list (a scalar
+    # is rejected — it would skip rows sharing the leading value)
+    after = (page1[-1]["repo"], page1[-1]["path"])
     page2 = json.loads(_run(capsys, [
-        "page", "--root", root, "--after", after, "--limit", "5",
+        "page", "--root", root,
+        "--after", json.dumps(list(after)), "--limit", "5",
     ]))
     assert [(x["repo"], x["path"]) for x in page2] == [
-        t for t in cur if t[0] > after
+        t for t in cur if t > after
     ][:5]
 
     # changed-since over the string leading version (commit): equals the
