@@ -292,9 +292,15 @@ def dedup_sync(
     pb = post.select(
         F.col("doc_id").alias("p_id"),
         F.posexplode("bands").alias("band_id", "band_key"))
+    # incremental tick: the delta side is small — broadcast it so the
+    # corpus side is a single scan with no shuffle. Bootstrap / refresh:
+    # the "delta" IS the corpus — a broadcast would ship the whole band
+    # set to every executor; let the planner shuffle-join instead.
+    if not (from_v == 0 or refreshed):
+        nb_ = F.broadcast(nb_)
     cand = (
-        F.broadcast(nb_)                       # the delta side is the small one
-        .join(pb, ["band_id", "band_key"])     # corpus side: scan, no shuffle
+        nb_
+        .join(pb, ["band_id", "band_key"])
         .filter(F.col("doc_id") != F.col("p_id"))
         .select(F.least("doc_id", "p_id").alias("doc_a"),
                 F.greatest("doc_id", "p_id").alias("doc_b"))
