@@ -132,9 +132,11 @@ def _poly_hashes_slab(offs: np.ndarray, data: np.ndarray):
 def _poly_hashes(arr) -> tuple[np.ndarray, np.ndarray]:
     """Two independent 64-bit hashes per string of a pa.LargeStringArray,
     fully vectorized (no per-row Python): a segmented polynomial over the
-    UTF-8 bytes, h(s) = sum((b_i + 1) * P^(L-1-i)) + len(s)*P in uint64
-    wraparound arithmetic. The +1 keeps 0x00 bytes contributing; the
-    length term separates prefix strings from their padded forms.
+    UTF-8 bytes, h(s) = sum_i((b_i + 1) * P^(L-i)) + len(s)*P (i = 0-based
+    byte position, so the exponent runs L..1) in uint64 wraparound
+    arithmetic. The +1 keeps 0x00 bytes contributing; the length term
+    separates prefix strings from their padded forms. This formula IS the
+    ``poly64v1`` spec — any second implementation must match it exactly.
 
     Processed in byte-bounded row slabs; each row's hash depends only on
     its own bytes, so slabbing is value-identical to a single flat pass
@@ -213,6 +215,10 @@ def probe_hashes(
     mismatch (truncated/corrupt sidecar) — callers treat that as "keep
     the file"."""
     words = np.frombuffer(data, np.uint64)
+    if int(m) <= 0:
+        # a zero/negative m passes the size check on an empty sidecar and
+        # then mods by zero in _bit_positions — reject it up front
+        raise ValueError(f"bloom stamp m={m} is not positive")
     if len(words) * 64 != int(m):
         raise ValueError(f"bloom sidecar holds {len(words) * 64} bits, "
                          f"manifest says {m}")
@@ -249,5 +255,9 @@ def probe_sidecar(root: str, entry: dict, hashes) -> np.ndarray | None:
         with open(os.path.join(root, entry["path"] + ".bloom"), "rb") as bf:
             data = bf.read()
         return probe_hashes(data, bl["m"], bl["k"], hashes[0], hashes[1])
-    except (OSError, ValueError, KeyError):
+    except (OSError, ValueError, KeyError, TypeError, IndexError,
+            ZeroDivisionError):
+        # the contract is "never raise, keep the file": a corrupt stamp
+        # (m=null -> TypeError, m=0 + empty sidecar -> IndexError/ZeroDiv)
+        # must degrade to a full-file read, not abort the whole lookup
         return None

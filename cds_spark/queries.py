@@ -21,6 +21,29 @@ from pyspark.sql import functions as F
 
 from cds_spark.operators.dedup import lww_collapse
 
+_SCRATCH_ROOTS: list[str] = []
+
+
+def _scratch_root(prefix: str) -> str:
+    """Fresh path for a query-local lake table (the lake-backed oracle
+    queries ingest the sf tables into a scratch lake per call so the
+    query stays a pure function of sf_dir). The returned DataFrame reads
+    these files LAZILY, so cleanup cannot precede materialization —
+    roots are removed at interpreter exit instead, bounding the /tmp
+    footprint to one process lifetime even under bench re-run loops."""
+    import atexit
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix=prefix)
+    shutil.rmtree(root)  # LakeTable.create wants to make it itself
+    if not _SCRATCH_ROOTS:
+        atexit.register(
+            lambda: [shutil.rmtree(r, ignore_errors=True)
+                     for r in _SCRATCH_ROOTS])
+    _SCRATCH_ROOTS.append(root)
+    return root
+
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -151,7 +174,9 @@ def q_cdc_inbatch_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-batch merge (parse.go:268-306): collapse each micro-batch
     (batch = event_id div 500) to one row per PK, counting absorbed events."""
     ch = _changes(spark, sf_dir).withColumn(
-        "batch_id", (F.col("event_id") / 500).cast("long")
+        # floor, not truncate-toward-zero: DuckDB's // floors, and / here
+        # is DOUBLE division (negative or >2^53 ids would silently diverge)
+        "batch_id", F.floor(F.col("event_id") / 500).cast("long")
     )
     w = Window.partitionBy("batch_id", "user_id").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
@@ -235,7 +260,6 @@ def q_cdc_keyset_page_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pk=user_id, version=(ts, event_id)), compact into the pk-sorted
     multi-chunk layout, then page `user_id > 50 LIMIT 25` reading only
     the candidate PK slice — O(page) files, not O(table)."""
-    import tempfile
 
     from cds_spark.lake.table import LakeTable
     from pyspark.sql import types as T
@@ -246,10 +270,7 @@ def q_cdc_keyset_page_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.StructField("ts", T.TimestampType()),
     ])
     # fresh root per call: the query must be a pure function of sf_dir
-    root = tempfile.mkdtemp(prefix="cds-keyset-lake-")
-    import shutil
-
-    shutil.rmtree(root)  # LakeTable.create wants to make it itself
+    root = _scratch_root("cds-keyset-lake-")
     table = LakeTable.create(
         spark, root, schema, pk=["user_id"],
         version_cols=["ts", "event_id"], n_buckets=4,
@@ -275,8 +296,6 @@ def q_cdc_changed_since(spark: SparkSession, sf_dir: str) -> DataFrame:
     LWW winners stay exact across the pruned generations. Reference
     analog: consumers tail the Kafka topic for recency
     (cmd/rtu/handle/insert.go versioning); here the table itself answers."""
-    import shutil
-    import tempfile
 
     from cds_spark.lake.table import LakeTable
     from pyspark.sql import types as T
@@ -286,8 +305,7 @@ def q_cdc_changed_since(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.StructField("event_id", T.LongType()),
         T.StructField("ts", T.TimestampType()),
     ])
-    root = tempfile.mkdtemp(prefix="cds-chsince-lake-")
-    shutil.rmtree(root)
+    root = _scratch_root("cds-chsince-lake-")
     table = LakeTable.create(
         spark, root, schema, pk=["user_id"],
         version_cols=["ts", "event_id"], n_buckets=4,
@@ -307,13 +325,17 @@ def q_cdc_changed_since(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, s in enumerate(slices):
         table.merge(s, fence=("chsince-oracle", i))
     since = datetime.datetime(2024, 1, 20)
+    # ts exported as epoch seconds per the module's cross-engine
+    # discipline (raw timestamps hash via engine-specific rendering)
     return table.changed_since(since).select(
-        "user_id", F.col("event_id").alias("last_event_id"), "ts"
+        "user_id", F.col("event_id").alias("last_event_id"),
+        F.unix_timestamp("ts").alias("last_ts"),
     )
 
 
 ORACLE_CHANGED_SINCE = """
-SELECT user_id, event_id AS last_event_id, ts
+SELECT user_id, event_id AS last_event_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS last_ts
 FROM (
   SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
   FROM events
@@ -722,7 +744,9 @@ def q_decode_feed_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     body = F.struct(
         # 'view' events omit the pk entirely -> missing-pk DLQ split
         F.when(t != "view", F.col("user_id").cast("string")).alias("uid"),
-        F.when(t != "delete", F.concat(F.lit("E-"), F.col("event_id"))).alias("ev"),
+        # guard matches the oracle's CASE (error rows also take the
+        # key_only branch below; keep the two rules aligned)
+        F.when(t != "error", F.concat(F.lit("E-"), F.col("event_id"))).alias("ev"),
         # 'signup' carries its own commit: payload wins over the injected one
         F.when(t == "signup", F.concat(F.lit("P"), F.col("event_id"))).alias("commit"),
         F.round("value", 2).alias("val"),
@@ -867,8 +891,6 @@ def q_dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly what the DuckDB oracle (MINHASH_LSH_SQL) computes, oblivious
     to the incremental history."""
     import os
-    import shutil
-    import tempfile
 
     from cds_spark.lake.table import LakeTable
     from cds_spark.operators.incdedup import dedup_sync, live_pairs
@@ -880,10 +902,8 @@ def q_dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.StructField("text", T.StringType()),
         T.StructField("ver", T.LongType()),
     ])
-    root = tempfile.mkdtemp(prefix="cds-incdd-src-")
-    dst = tempfile.mkdtemp(prefix="cds-incdd-dd-")
-    shutil.rmtree(root)
-    shutil.rmtree(dst)
+    root = _scratch_root("cds-incdd-src-")
+    dst = _scratch_root("cds-incdd-dd-")
     src = LakeTable.create(
         spark, root, schema, pk=["doc_id"], version_cols=["ver"],
         n_buckets=4, properties={"merge_mode": "upsert"})
@@ -924,8 +944,6 @@ def q_cascade_transform_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain documents table — exactly what the history-blind DuckDB oracle
     computes. This is the lake-native analog of cds users chaining a
     second sync job off the first one's output topic."""
-    import shutil
-    import tempfile
 
     from cds_spark.lake.table import LakeTable
     from cds_spark.streaming.pipeline import cascade_sync
@@ -937,10 +955,8 @@ def q_cascade_transform_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.StructField("text", T.StringType()),
         T.StructField("ver", T.LongType()),
     ])
-    src_root = tempfile.mkdtemp(prefix="cds-ctv-src-")
-    dst_root = tempfile.mkdtemp(prefix="cds-ctv-dst-")
-    shutil.rmtree(src_root)
-    shutil.rmtree(dst_root)
+    src_root = _scratch_root("cds-ctv-src-")
+    dst_root = _scratch_root("cds-ctv-dst-")
     src = LakeTable.create(
         spark, src_root, schema, pk=["doc_id"], version_cols=["ver"],
         n_buckets=4, properties={"merge_mode": "upsert"})
@@ -1089,8 +1105,6 @@ def q_ann_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     MAINTAINED index (manifest-pruned to the query buckets) must equal the
     history-blind batch LSH SQL oracle over the final embeddings table."""
     import os
-    import shutil
-    import tempfile
 
     from cds_spark.lake.table import LakeTable
     from cds_spark.operators.annindex import ann_index_sync, ann_topk
@@ -1102,10 +1116,8 @@ def q_ann_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.StructField("embedding", T.ArrayType(T.FloatType())),
         T.StructField("ver", T.LongType()),
     ])
-    root = tempfile.mkdtemp(prefix="cds-annix-src-")
-    dst = tempfile.mkdtemp(prefix="cds-annix-dd-")
-    shutil.rmtree(root)
-    shutil.rmtree(dst)
+    root = _scratch_root("cds-annix-src-")
+    dst = _scratch_root("cds-annix-dd-")
     src = LakeTable.create(
         spark, root, schema, pk=["vec_id"], version_cols=["ver"],
         n_buckets=4, properties={"merge_mode": "upsert"})

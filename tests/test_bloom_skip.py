@@ -224,3 +224,24 @@ def test_validate_flags_corrupt_bloom_sidecar(spark, tmp_path):
     any_key = table.current().select("repo", "path").first()
     assert table.lookup([{"repo": any_key["repo"],
                           "path": any_key["path"]}]).count() == 1
+
+
+def test_probe_sidecar_corrupt_stamp_keeps_file_never_raises(tmp_path):
+    """The probe contract is 'never raise, keep the file': a corrupt
+    manifest stamp (m=0 with an empty sidecar, m=None, m as a string)
+    must return None — not crash the whole lookup with IndexError/
+    TypeError out of the narrow except clause."""
+    import numpy as np
+
+    h = (np.array([1, 2, 3], np.uint64), np.array([4, 5, 6], np.uint64))
+    root = str(tmp_path)
+    (tmp_path / "f.parquet.bloom").write_bytes(b"")
+    for bad_m in (0, -64, None, "x"):
+        entry = {"path": "f.parquet",
+                 "bloom": {"algo": bloom.BLOOM_ALGO, "m": bad_m, "k": 7}}
+        assert bloom.probe_sidecar(root, entry, h) is None, bad_m
+    # a stamp missing 'k' entirely (KeyError path) also degrades
+    (tmp_path / "g.parquet.bloom").write_bytes(b"\x00" * 8)
+    entry = {"path": "g.parquet",
+             "bloom": {"algo": bloom.BLOOM_ALGO, "m": 64}}
+    assert bloom.probe_sidecar(root, entry, h) is None
