@@ -149,6 +149,8 @@ def cmd_bootstrap(args) -> int:
             pk=args.pk.split(","),
             version_cols=args.version_cols.split(","),
             n_buckets=args.buckets,
+            properties=(
+                {"driver": args.jdbc_driver} if args.jdbc_driver else None),
         )
     elif args.source:
         src = spark.read.parquet(args.source)
@@ -177,6 +179,7 @@ def cmd_sync(args) -> int:
         dlq_dir=args.dlq_dir,
         merge_mode=args.merge_mode,
         decoder=args.decoder,
+        evolve_schema=not args.no_evolve,
         auto_rebucket=args.auto_rebucket,
     )
     job = IncrementalSync(_spark(args), spec)
@@ -529,9 +532,17 @@ def cmd_sync_many(args) -> int:
         raise SystemExit("--jobs must be a JSON array of JobSpec objects")
     specs = [JobSpec(**d) for d in job_dicts]
     spark = _spark(args)
-    queries = run_many(spark, specs, trigger_once=args.once)
+    result = run_many(spark, specs, trigger_once=args.once)
     failed: list[str] = []
-    if not args.once:
+    if args.once:
+        # drain mode: run_many waited for every query and returned the
+        # failures — report each, keep the summary line and exit code
+        for jid, err in (result or {}).items():
+            failed.append(jid)
+            print(json.dumps({"job_id": jid, "error": err[:500]}),
+                  file=sys.stderr)
+    else:
+        queries = result
         # continuous mode: stay up while ANY stream lives — one job's
         # failure must not tear down its siblings (per-job isolation,
         # like the reference's process-per-job deploy). awaitAnyTermination
@@ -609,6 +620,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--jdbc-url", default=None,
                     help="live-source mode: JDBC url (driver jar via spark-submit --jars)")
     sp.add_argument("--jdbc-table", default=None, help="source table name for --jdbc-url")
+    sp.add_argument("--jdbc-driver", default=None,
+                    help="explicit JDBC driver class (Derby/Oracle-style "
+                         "sources that DriverManager cannot infer from "
+                         "the url; same flag as generate-create-sql)")
     sp.add_argument("--pk", required=True)
     sp.add_argument("--version-cols", required=True)
     sp.add_argument("--buckets", type=int, default=64)
@@ -627,7 +642,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--merge-mode", choices=["append", "upsert"], default=None)
     sp.add_argument("--decoder", choices=["jvm", "arrow"], default="jvm",
                     help="batch decode stage; arrow = vectorized pandas "
-                         "(implies schema evolution off)")
+                         "(composes with schema evolution, which stays ON "
+                         "for both decoders unless --no-evolve)")
+    sp.add_argument("--no-evolve", action="store_true",
+                    help="disable per-batch schema evolution (unknown "
+                         "payload keys are dropped instead of ALTER ADDed)")
     sp.add_argument("--auto-rebucket", action="store_true",
                     help="maintenance ticks re-shard the table online when "
                          "stats() flags over-cap buckets")

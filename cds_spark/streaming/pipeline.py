@@ -254,6 +254,7 @@ class IncrementalSync:
                 events = decode_feed(
                     batch, inject=self.spec.version_inject, keep_cols=("payload",)
                 ).persist()
+        jvm_cached: list = []
         try:
             if events is not None:
                 added = discover_and_evolve(table, events)
@@ -274,6 +275,15 @@ class IncrementalSync:
                 rows, dlq = decode_feed_rows(
                     batch, table.schema, table.pk, inject=self.spec.version_inject
                 )
+                # same invariant as the other two branches: the fused
+                # parse feeds the lineage agg, the DLQ count AND the
+                # merge — without a persist the from_json re-runs per
+                # action, eroding the path's whole speed advantage
+                rows = rows.persist()
+                jvm_cached.append(rows)
+                if self.spec.dlq_dir:
+                    dlq = dlq.persist()
+                    jvm_cached.append(dlq)
             # per-partition lineage BEFORE merge collapses rows (one small agg)
             lineage_rows = [
                 r.asDict()
@@ -298,6 +308,8 @@ class IncrementalSync:
         finally:
             if events is not None:
                 events.unpersist()
+            for df in jvm_cached:
+                df.unpersist()
         maintained: dict | None = None
         every = self.spec.maintenance_every_batches
         if every and not stats.skipped and (batch_id + 1) % every == 0:
@@ -646,13 +658,47 @@ def bootstrap_jdbc(
     )
 
 
+def _load_or_create(
+    spark: SparkSession,
+    table_root: str,
+    source_schema,
+    pk: list[str],
+    version_cols: list[str],
+    n_buckets: int,
+    properties: dict | None = None,
+) -> LakeTable:
+    """The one load-or-create rule every full-sync entry point shares
+    (bootstrap / full_sync_windowed): a source may legitimately carry the
+    meta columns (e.g. exported from another lake table), and the LOGICAL
+    schema must exclude them or the physical layout would duplicate
+    _is_delete/_offset."""
+    import pyspark.sql.types as T
+
+    from cds_spark.lake.table import IS_DELETE, OFFSET
+
+    if LakeTable.exists(table_root):
+        return LakeTable.load(spark, table_root)
+    logical = T.StructType(
+        [f for f in source_schema.fields if f.name not in (IS_DELETE, OFFSET)]
+    )
+    return LakeTable.create(
+        spark, table_root, logical, pk=pk, version_cols=version_cols,
+        n_buckets=n_buckets, properties=properties,
+    )
+
+
 def _hour_in_window(hour: int, start_hour: int, end_hour: int) -> bool:
     """The reference's execution-window rule (mongo2clickhouse.go:99-103):
-    (0, 0) = no window (always allowed); otherwise the job may run only
-    while start_hour <= hour <= end_hour."""
+    (0, 0) = no window (always allowed); start <= end is the in-day
+    window start_hour <= hour <= end_hour; start > end wraps midnight —
+    (22, 5) means 22:00-05:59, the canonical off-peak maintenance window
+    (a non-wrapping reading of it would never match any hour and the job
+    would silently pause forever)."""
     if start_hour == 0 and end_hour == 0:
         return True
-    return start_hour <= hour <= end_hour
+    if start_hour <= end_hour:
+        return start_hour <= hour <= end_hour
+    return hour >= start_hour or hour <= end_hour
 
 
 def full_sync_windowed(
@@ -702,21 +748,10 @@ def full_sync_windowed(
 
     kc = keyset_col or pk[0]
 
-    schema = source.schema
-    if LakeTable.exists(table_root):
-        table = LakeTable.load(spark, table_root)
-    else:
-        import pyspark.sql.types as T
-
-        from cds_spark.lake.table import IS_DELETE, OFFSET
-
-        logical = T.StructType(
-            [f for f in schema.fields if f.name not in (IS_DELETE, OFFSET)]
-        )
-        table = LakeTable.create(
-            spark, table_root, logical, pk=pk, version_cols=version_cols,
-            n_buckets=n_buckets, properties={"merge_mode": "append"},
-        )
+    table = _load_or_create(
+        spark, table_root, source.schema, pk, version_cols, n_buckets,
+        properties={"merge_mode": "append"},
+    )
 
     def _write_status(st: dict) -> None:
         os.makedirs(os.path.dirname(status_path), exist_ok=True)
@@ -865,22 +900,8 @@ def bootstrap(
     (cmd/dm/data/mysql2clickhouse.go:31-119), Spark parallelizes the scan;
     incremental overlap after bootstrap converges by the same LWW rule
     (doc/CDS中ClickHouse使用的建表方案.md:87)."""
-    import pyspark.sql.types as T
-
-    from cds_spark.lake.table import IS_DELETE, OFFSET
-
-    # a snapshot may legitimately carry the meta columns (e.g. exported from
-    # another lake table); the LOGICAL schema must exclude them or the
-    # physical layout would duplicate _is_delete/_offset
-    schema = T.StructType(
-        [f for f in source.schema.fields if f.name not in (IS_DELETE, OFFSET)]
-    )
-    if LakeTable.exists(table_root):
-        table = LakeTable.load(spark, table_root)
-    else:
-        table = LakeTable.create(
-            spark, table_root, schema, pk=pk, version_cols=version_cols, n_buckets=n_buckets
-        )
+    table = _load_or_create(
+        spark, table_root, source.schema, pk, version_cols, n_buckets)
     table.overwrite(source)
     return table
 
@@ -949,23 +970,30 @@ def cascade_sync(
 
     src = LakeTable.load(spark, src_root)
 
-    def _dst_schema(tdf):
+    def _dst_schema(tdf, in_cols):
         fields = [f for f in tdf.schema.fields
                   if f.name not in (_DEL, _OFF, "_bucket")]
         have = {f.name for f in fields}
         missing = [c for c in list(src.pk) + list(src.version_cols)
                    if c != _OFF and c not in have]
+        # the meta columns must survive the transform too: a dropped
+        # _is_delete would be default-filled False downstream (upstream
+        # deletes silently resurrect as mostly-NULL "live" rows), a
+        # dropped _offset zeroes the LWW tiebreak
+        missing += [c for c in (_DEL, _OFF)
+                    if c in in_cols and c not in tdf.columns]
         if missing:
             raise ValueError(
-                f"cascade transform must preserve PK/version columns; "
-                f"missing {missing}")
+                f"cascade transform must preserve PK/version/meta "
+                f"columns; missing {missing}")
         import pyspark.sql.types as _T
         return _T.StructType(fields)
 
     if not LakeTable.exists(dst_root):
-        full = tf(src.read(live_only=False, with_meta=True, collapse=True))
+        raw = src.read(live_only=False, with_meta=True, collapse=True)
+        full = tf(raw)
         dst = LakeTable.create(
-            spark, dst_root, _dst_schema(full), pk=src.pk,
+            spark, dst_root, _dst_schema(full, raw.columns), pk=src.pk,
             version_cols=src.version_cols,
             n_buckets=n_buckets or src.n_buckets,
             properties={"merge_mode": src.properties.get("merge_mode", "upsert")},
@@ -981,7 +1009,9 @@ def cascade_sync(
         if not dst.manifest["files"]:
             # first run crashed between create() and the bootstrap merge:
             # the empty destination is safe to (re-)bootstrap
-            full = tf(src.read(live_only=False, with_meta=True, collapse=True))
+            raw = src.read(live_only=False, with_meta=True, collapse=True)
+            full = tf(raw)
+            _dst_schema(full, raw.columns)  # validate before the merge
             dst.merge(full, fence=(job_id, src.version), precollapsed=True)
             rec = {"applied": "bootstrap", "from": 0, "to": src.version,
                    "skipped": False}
@@ -1006,8 +1036,9 @@ def cascade_sync(
         # Iceberg-style full refresh: overwrite with the current upstream
         # state, tombstones included — also how upstream purges/updates
         # reach the destination
-        full = tf(src.read(live_only=False, with_meta=True, collapse=True))
-        _evolve_to(dst, _dst_schema(full))
+        raw = src.read(live_only=False, with_meta=True, collapse=True)
+        full = tf(raw)
+        _evolve_to(dst, _dst_schema(full, raw.columns))
         stats = dst.overwrite(full, fence=(job_id, src.version))
         applied: int | str = "full-refresh"
     else:
@@ -1015,7 +1046,7 @@ def cascade_sync(
         # propagate upstream schema evolution (column add / widen) before
         # apply — diffed on the TRANSFORMED delta, so it works identically
         # for plain copies and derived views
-        _evolve_to(dst, _dst_schema(tdelta))
+        _evolve_to(dst, _dst_schema(tdelta, delta.columns))
         stats = dst.merge(tdelta, fence=(job_id, src.version))
         applied = stats.rows_written
     rec = {"applied": applied, "from": from_v, "to": src.version,
@@ -1037,14 +1068,26 @@ def run_many(spark: SparkSession, specs: Sequence["JobSpec"], trigger_once: bool
     tables (two writers on one table would fight the manifest CAS every
     batch; use one job per table).
 
-    trigger_once=True drains all sources (AvailableNow) and returns after
-    every query terminates; otherwise returns the list of live queries."""
-    roots = [s.table_root for s in specs]
+    trigger_once=True drains all sources (AvailableNow), waits for EVERY
+    query (one job's failure does not tear down its siblings), and
+    returns a dict of job_id -> error message for the jobs that failed
+    (empty when all drained clean); otherwise returns the list of live
+    queries."""
+    from cds_spark.secrets import expand_spec_env
+
+    # guard on the EXPANDED, normalized roots — '${DATA_ROOT}/t1' vs
+    # '/data/t1' (or a trailing slash) must not sneak two writers onto
+    # one table past a raw-string comparison
+    roots = [os.path.normpath(expand_spec_env(s).table_root) for s in specs]
     if len(set(roots)) != len(roots):
         raise ValueError("run_many: each JobSpec must target a distinct table_root")
     queries = [IncrementalSync(spark, s).start(trigger_once=trigger_once) for s in specs]
     if not trigger_once:
         return queries
-    for q in queries:
-        q.awaitTermination()
-    return None
+    failures: dict[str, str] = {}
+    for s, q in zip(specs, queries):
+        try:
+            q.awaitTermination()
+        except Exception as e:  # noqa: BLE001 — drain the siblings first
+            failures[s.job_id] = str(e)
+    return failures
