@@ -349,20 +349,29 @@ def page_bench(spark, work_dir: str, n_rows: int = 4_000_000) -> dict:
     page_s = best_of_2(timed_page)
     naive_s = best_of_2(timed_naive)
     assert [tuple(r) for r in out_rows] == [tuple(r) for r in naive_rows]
-    # the exact file slice the page read (the persisted result hides
-    # inputFiles): re-derive it from the manifest with the same helper
-    sl = LakeTable._page_file_slice(table.manifest["files"], "id", cursor, 300)
+    # what the served page ACTUALLY read: keyset_page records its final
+    # slice (the adaptive widening means an outside re-derivation with a
+    # fixed row target can misreport). None = range-scan fallback, which
+    # zone-prunes every file wholly at-or-below the cursor.
+    files_read = getattr(table, "_last_page_files", None)
+    if files_read is None:
+        def _hi(f):
+            st = (f.get("stats") or {}).get("id")
+            return None if not st else st[1]
+        files_read = sum(
+            1 for f in table.manifest["files"]
+            if _hi(f) is None or _hi(f) > cursor)
     return {
         "n_rows": n_rows,
         "page_s": round(page_s, 3),
         "naive_s": round(naive_s, 3),
         "speedup": round(naive_s / page_s, 2) if page_s > 0 else None,
-        "files_read": len(sl[0]) if sl else len(table.manifest["files"]),
+        "files_read": files_read,
         "files_total": len(table.manifest["files"]),
     }
 
 
-def _jvm_probe(spark) -> float:
+def _jvm_probe(spark, repeats: int = 2) -> float:
     """~1s pure in-register compute probe inside the bench JVM (sha2 over
     range(), no IO/shuffle/files) — the same host-window instrument as
     tools/bench_scaling.py's child probe. Quiet 32-core windows measure
@@ -381,7 +390,7 @@ def _jvm_probe(spark) -> float:
         return time.time() - t0
 
     once()  # warm the codegen for the probe plan itself
-    return round(min(once() for _ in range(2)), 3)
+    return round(min(once() for _ in range(repeats)), 3)
 
 
 def _committed_bests() -> dict[str, float]:
@@ -513,9 +522,17 @@ def main() -> None:
                            feed_paths=feed_paths, warmup=False,
                            maintenance_every=1)
         maint["digest_matches_one_shot"] = (maint["digest"] == replay["digest"])
+        # upsert replay reuses ONE materialized quarter-size feed, same
+        # once-and-reuse methodology as the append runs (regenerating
+        # identical deterministic bytes per run wasted wall-clock and
+        # tmpfs headroom)
+        ufeed_paths = materialize_feed(
+            spark, REPLAY_EVENTS // 4, os.path.join(work, "ufeed"), 4,
+            n_partitions=CPUS, **FEED_KW
+        )
         uruns = [
             cdc_replay(spark, REPLAY_EVENTS // 4, work, mode="upsert",
-                       n_batches=4, warmup=(i == 0))
+                       n_batches=4, feed_paths=ufeed_paths, warmup=(i == 0))
             for i in range(2)
         ]
         replay_upsert = max(uruns, key=lambda r: r["events_per_sec"])

@@ -1290,6 +1290,11 @@ class LakeTable:
                                  lower_inclusive=composite)
             return _after_pred(sc) if composite else sc
 
+        # observability: how many files the served page actually read
+        # (None = fallback range scan). bench.py reports this — the slice
+        # loop below widens adaptively, so an outside re-derivation with a
+        # fixed target can misreport what was read.
+        self._last_page_files: int | None = None
         if limit <= 0:
             return _fallback().limit(0)
         # 3x: live winners per page row is at least 1 file row, but
@@ -1324,6 +1329,7 @@ class LakeTable:
             # leaking a persisted cache entry per served page
             rows = df.orderBy(*self.pk).limit(limit).collect()
             if len(rows) >= limit:
+                self._last_page_files = len(keep)
                 return self.spark.createDataFrame(rows, df.schema)
             target *= 4  # slice came up short: widen the cutoff
         return _fallback().orderBy(*self.pk).limit(limit)

@@ -90,17 +90,10 @@ try:
     # concat + repeat over range()), no IO/shuffle/files. Any sub-4x
     # scaling HERE is the host's (vCPU oversubscription / per-core turbo
     # at low occupancy), not the engine's — the replay's efficiency is
-    # reported both raw and normalized to this ceiling.
-    from pyspark.sql import functions as F
-    def probe():
-        t0 = time.time()
-        spark.range(0, 8_000_000, 1, cores * 4).select(
-            F.sum(F.length(F.repeat(F.sha2(
-                F.concat(F.lit("x"), F.col("id").cast("string")), 256), 4)))
-        ).collect()
-        return time.time() - t0
-    probe()
-    r["probe_sec"] = round(min(probe() for _ in range(3)), 3)
+    # reported both raw and normalized to this ceiling. THE SAME
+    # instrument as the headline bench (bench.CPUS is set to this
+    # level's cores above, so the probe parallelism follows).
+    r["probe_sec"] = bench._jvm_probe(spark, repeats=3)
 finally:
     shutil.rmtree(ramdir, ignore_errors=True)
 print("RESULT " + json.dumps(r))

@@ -19,7 +19,9 @@ import math
 import sys
 import time
 
-sys.path.insert(0, ".")
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
 import pyarrow as pa  # noqa: E402
@@ -59,6 +61,10 @@ def canon(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if math.isinf(v):
+            # int(inf) raises OverflowError — an inf in either engine must
+            # surface as a hash MISMATCH on that query, not a gate crash
+            return "Inf" if v > 0 else "-Inf"
         if v == int(v) and abs(v) < 2**53:
             return str(int(v))  # collapse integral float vs int column typing
         return repr(v)  # exact: repr distinguishes any two different doubles
@@ -67,9 +73,16 @@ def canon(v) -> str:
     return str(v)
 
 
-def value_hash(cols: list[str], rows: list[tuple]) -> str:
+def canon_lines(cols: list[str], rows: list[tuple]) -> list[str]:
+    """THE canonical row rendering (column-name order, \\x1f join, sorted)
+    — shared by the hash and the first-differing-row debug output so the
+    two can never disagree."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("\x1f".join(canon(r[i]) for i in order) for r in rows)
+    return sorted("\x1f".join(canon(r[i]) for i in order) for r in rows)
+
+
+def value_hash(cols: list[str], rows: list[tuple]) -> str:
+    lines = canon_lines(cols, rows)
     h = hashlib.sha256()
     for line in lines:
         h.update(line.encode())
@@ -89,14 +102,30 @@ def main() -> int:
 
     con = duckdb.connect()
     for t in TABLES:
+        if not os.path.exists(f"{sf_dir}/{t}.parquet"):
+            # DuckDB binds read_parquet at CREATE VIEW: registering a view
+            # over a missing file would abort the gate before ANY query
+            # runs; only the queries that need this table should fail
+            print(f"# {t}.parquet missing in {sf_dir} — view not registered")
+            continue
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only:
+        unknown = only - set(queries)
+        if unknown:
+            # a typo'd or renamed name must not produce a green gate that
+            # checked nothing
+            raise SystemExit(
+                f"unknown query name(s) {sorted(unknown)}; "
+                f"known: {sorted(queries)}")
     failed = []
+    n_checked = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        n_checked += 1
         t0 = time.time()
         sdf = fn(spark, sf_dir)
         scols = sdf.columns
@@ -125,10 +154,8 @@ def main() -> int:
                 failed.append(name)
                 if not ok_hash and ok_count and ok_schema:
                     # show first differing row for debugging
-                    order = sorted(range(len(scols)), key=lambda i: scols[i])
-                    sset = sorted("\x1f".join(canon(r[i]) for i in order) for r in srows)
-                    oorder = sorted(range(len(ocols)), key=lambda i: ocols[i])
-                    oset = sorted("\x1f".join(canon(r[i]) for i in oorder) for r in orows)
+                    sset = canon_lines(scols, srows)
+                    oset = canon_lines(ocols, orows)
                     for a, b in zip(sset, oset):
                         if a != b:
                             print(f"    spark : {a[:200]}")
@@ -140,7 +167,9 @@ def main() -> int:
                 failed.append(name)
         print(f"{'PASS' if name not in failed else 'FAIL'} {name:32s} "
               f"{time.time()-t0:6.1f}s  {'  '.join(status)}")
-    print(f"\n{len(queries) - len(failed)}/{len(queries)} queries match")
+    print(f"\n{n_checked - len(failed)}/{n_checked} queries match"
+          + ("" if n_checked == len(queries)
+             else f" ({len(queries) - n_checked} not selected)"))
     return 1 if failed else 0
 
 
