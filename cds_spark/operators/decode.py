@@ -37,6 +37,11 @@ from pyspark.sql import types as T
 
 MAP_SS = T.MapType(T.StringType(), T.StringType())
 
+#: per-row offset stride for canal batch messages: row offset =
+#: message_offset * STRIDE + row position. Canal's batch size config is
+#: well under this; message offsets stay distinct up to 2^51 messages.
+CANAL_BATCH_STRIDE = 4096
+
 NORMALIZED_FIELDS = ["op", "data", "exists", "_partition", "_offset"]
 
 # op whitelists — canalsyncmodel.go:71-88, connectormongomodel.go:74-101,
@@ -115,6 +120,9 @@ def decode_canal(
     """canal-mysql: ``{type, data:[{...}], old:[{...}]}`` — one message holds
     a *batch* of rows (canalsyncmodel.go:204-220) -> explode to one event per
     row. DELETE rows are key+before-image; type whitelist filters DDL etc."""
+    if offset_col is None:
+        # same guard as _finish, raised before the offset is composed below
+        raise ValueError("decode requires offset_col (stable unique per event)")
     schema = T.StructType(
         [
             T.StructField("type", T.StringType()),
@@ -129,8 +137,18 @@ def decode_canal(
     p = _materialize(df, keep, _e=F.from_json(F.col(value_col), schema))
     p = p.withColumn("op", _norm_op(F.col("_e.type"))).filter(F.col("op").isNotNull())
     p = p.select("*", F.posexplode_outer(F.col("_e.data")).alias("_rowpos", "data"))
-    p = p.withColumn("exists", F.map_keys(F.coalesce(F.col("data"), F.lit(None).cast(MAP_SS))))
-    return _finish(p, partition_col, offset_col)
+    # one canal message holds a BATCH of rows: every row needs a DISTINCT
+    # LWW offset or two changes to the same PK inside one message collide
+    # on (commit, _offset) and the winner is arbitrary (the reference
+    # assigns consecutive insert ids per row, canalsyncmodel.go:204-220).
+    # Compose message offset with the row position; canal's configured
+    # batch size is far below the stride.
+    p = p.withColumn(
+        "__off",
+        F.col(offset_col).cast("long") * F.lit(CANAL_BATCH_STRIDE)
+        + F.coalesce(F.col("_rowpos").cast("long"), F.lit(0)))
+    p = p.withColumn("exists", F.map_keys(F.col("data")))
+    return _finish(p, partition_col, "__off")
 
 
 def decode_debezium_mysql(
@@ -234,38 +252,24 @@ def decode_connector_mongo(
     return _finish(p, partition_col, offset_col)
 
 
-def _mongoize(m, empty_map):
+def _mongoize_parts(m, set_obj, id_obj, empty_map):
     """The debezium-mongodb ValueMap normalization (debeziumsyncmodel.go
-    setValueMap, :158-199), as pure JVM map expressions over a parsed
-    ``map<string,string>``:
+    setValueMap, :158-199) over PRE-PARSED pieces: ``set_obj`` = parsed
+    ``$set`` member, ``id_obj`` = parsed ``_id`` member (null unless a
+    JSON object). decode_debezium_mongo materializes those behind a
+    Generate barrier so each nested from_json runs once per row instead
+    of once per reference.
 
-    - ``$v`` dropped (protocol version marker);
-    - ``$set`` flattened into the result with ``$`` stripped from its keys;
-    - ``_id`` object unwrapped: ``{"$oid": hex}`` -> ``_id=hex``; any other
-      ``$``-prefixed wrapper key is stripped and kept (reference behavior:
-      ``{"$numberLong": "5"}`` under _id yields ``numberLong=5``);
-    - scalar ``_id`` kept as-is;
-    - all other nested objects stay as their raw JSON text (from_json's
-      map<string,string> rendering == the reference's json.Marshal).
+    Rules: ``$v`` dropped (protocol version marker); ``$set`` flattened
+    with ``$`` stripped from its keys; ``_id`` object unwrapped
+    (``{"$oid": hex}`` -> ``_id=hex``; any other ``$``-wrapper key is
+    stripped and kept); scalar ``_id`` kept as-is; other nested objects
+    stay as raw JSON text (map<string,string> rendering == json.Marshal).
 
     Deviation (documented): the reference's Go switch silently DROPS
     boolean- and array-valued fields (no case for them); we keep them as
     strings — strictly more information, and the lenient coercion
     downstream yields the same typed defaults."""
-    return _mongoize_parts(
-        m,
-        F.from_json(F.element_at(m, "$set"), MAP_SS),
-        F.from_json(F.element_at(m, "_id"), MAP_SS),
-        empty_map,
-    )
-
-
-def _mongoize_parts(m, set_obj, id_obj, empty_map):
-    """_mongoize over PRE-PARSED pieces: ``set_obj`` = parsed ``$set``
-    member, ``id_obj`` = parsed ``_id`` member (null unless a JSON object).
-    decode_debezium_mongo materializes those behind a Generate barrier so
-    each nested from_json runs once per row instead of once per
-    reference."""
     base = F.map_filter(
         F.coalesce(m, empty_map), lambda k, _: ~k.isin("$set", "$v", "_id")
     )
@@ -473,9 +477,15 @@ def decode_feed_rows(
 
     def _rawv(name: str) -> F.Column:
         v = F.col(f"__j.{name}")
+        if name not in inject:
+            return v
         # payload wins over the injected envelope column (LAST_WIN parity
-        # with decode_feed's map_concat(env, data))
-        return F.coalesce(v, F.col(f"__inj_{name}")) if name in inject else v
+        # with decode_feed's map_concat(env, data)) — but ONLY when the
+        # payload actually parsed: the map path applies inject on
+        # data.isNotNull(), and without the same gate an injected PK
+        # column would defeat the DLQ split for malformed payloads
+        return F.when(F.col("__j").isNotNull(),
+                      F.coalesce(v, F.col(f"__inj_{name}")))
 
     # coerce only carried values; a struct-null means key-absent in the
     # overwhelmingly common case (key-only deletes, partial updates) and
@@ -572,11 +582,19 @@ def decode_feed_arrow(
 
     def _to_str(v):
         # envelope (typed) columns injected under the payload: match the
-        # JVM cast-to-string rendering
+        # JVM cast-to-string rendering. pandas hands over NUMPY scalars:
+        # np.bool_ is NOT a bool subclass (str() would render 'True'),
+        # and floats need the Java Double.toString form — without these
+        # branches the two decoders' data maps diverge on injected
+        # boolean/double columns
+        import numpy as _np
+
         if v is None:
             return None
-        if isinstance(v, bool):
+        if isinstance(v, (bool, _np.bool_)):
             return "true" if v else "false"
+        if isinstance(v, (float, _np.floating)):
+            return _java_double_str(float(v))
         return str(v)
 
     def _java_double_str(x: float) -> str:

@@ -562,8 +562,14 @@ def q_decode_canal_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     env = F.to_json(F.struct(typ.alias("type"), data.alias("data")))
     wire = ev.select(env.alias("value"), "event_id")
     dec = decode_canal(wire, offset_col="event_id")
+    # decode_canal composes a per-row offset (message offset * stride +
+    # row position) so same-PK rows in one batch stay LWW-distinct;
+    # recover the message id for the oracle comparison
+    from cds_spark.operators.decode import CANAL_BATCH_STRIDE
+
     return dec.select(
-        F.col("_offset").alias("event_id"),
+        F.floor(F.col("_offset") / CANAL_BATCH_STRIDE).cast("long")
+         .alias("event_id"),
         F.col("data")["user_id"].cast("long").alias("user_id"),
         "op",
         F.col("data")["seq"].cast("long").alias("seq"),

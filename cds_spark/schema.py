@@ -152,11 +152,15 @@ def lenient_long(c: Column) -> Column:
     (canalsyncmodel.go:100-146, connectormongomodel.go:127-167)."""
     s = c.cast("string")
     ext = _ext_num_token(s)
+    # every narrowing step is try_cast: under ANSI SQL (Spark 4 default)
+    # a plain double->long cast THROWS on NaN/Inf/overflow — 'NaN' or
+    # '1e30' in a long column must yield the documented fallback 0, not
+    # kill the micro-batch
     return F.coalesce(
         c.try_cast("long"),
-        c.try_cast("double").cast("long"),
+        c.try_cast("double").try_cast("long"),
         ext.try_cast("long"),
-        ext.try_cast("double").cast("long"),
+        ext.try_cast("double").try_cast("long"),
         F.lit(0),
     )
 
@@ -164,6 +168,17 @@ def lenient_long(c: Column) -> Column:
 def lenient_double(c: Column) -> Column:
     ext = _ext_num_token(c.cast("string"))
     return F.coalesce(c.try_cast("double"), ext.try_cast("double"), F.lit(0.0))
+
+
+#: timestamp_millis multiplies ms -> micros with Math.multiplyExact: a
+#: garbage numeric beyond this overflows long and throws regardless of
+#: ANSI mode. Beyond the guard the value falls through to the epoch
+#: fallback (never-fail, debeziumsyncdatatype.go:156-170).
+_MS_ABS_MAX = (1 << 63) // 1000 - 1
+
+
+def _safe_ms(num: Column) -> Column:
+    return F.when(F.abs(num) <= F.lit(_MS_ABS_MAX), F.timestamp_millis(num))
 
 
 def lenient_timestamp(c: Column) -> Column:
@@ -178,7 +193,7 @@ def lenient_timestamp(c: Column) -> Column:
     date_ms = _date_ms_token(s)
     date_iso = _date_iso_token(s)
     date_ts = F.coalesce(
-        F.timestamp_millis(date_ms.try_cast("long")),
+        _safe_ms(date_ms.try_cast("long")),
         *[F.try_to_timestamp(date_iso, F.lit(fmt)) for fmt in TIME_LAYOUTS],
     )
     # plain epoch ints, incl. {"$numberLong"/"$numberInt": "n"} wrappers
@@ -186,7 +201,7 @@ def lenient_timestamp(c: Column) -> Column:
     num = F.coalesce(as_long, _guarded(s, _rx(s, _NUM_RE, 1)).try_cast("long"))
     epoch_like = F.when(
         num.isNotNull(),
-        F.when(F.abs(num) >= F.lit(10**12), F.timestamp_millis(num)).otherwise(
+        F.when(F.abs(num) >= F.lit(10**12), _safe_ms(num)).otherwise(
             F.timestamp_seconds(num)
         ),
     )
@@ -210,9 +225,12 @@ def coerce(c: Column, dt: T.DataType, lenient: bool = True) -> Column:
         return c.cast(dt)
     tn = dt.typeName()
     if tn in ("byte", "short", "integer", "long"):
-        return lenient_long(c).cast(dt)
+        # try_cast + re-coalesce: long->byte/short/int overflow throws
+        # under ANSI; never-fail means out-of-range -> 0
+        return F.coalesce(lenient_long(c).try_cast(dt), F.lit(0).cast(dt))
     if tn in ("float", "double"):
-        return lenient_double(c).cast(dt)
+        return F.coalesce(lenient_double(c).try_cast(dt),
+                          F.lit(0.0).cast(dt))
     if tn == "timestamp":
         return lenient_timestamp(c)
     if tn == "date":
@@ -251,43 +269,6 @@ def infer_json_type(value) -> T.DataType:
     if isinstance(value, (dict, list)):
         return T.StringType()  # nested -> JSON string
     return T.StringType()
-
-
-def discover_new_columns(df: DataFrame, payload_col: str, known: set[str]) -> list[str]:
-    """Distinct JSON keys in ``payload_col`` not in ``known``. JVM-side
-    (json_object_keys + explode + distinct); returns a small driver list —
-    mirrors parse.go:169-177 which collects new columns per batch."""
-    rows = (
-        df.select(F.explode(F.json_object_keys(F.col(payload_col))).alias("k"))
-        .filter(~F.col("k").isin(*known) if known else F.lit(True))
-        .distinct()
-        .collect()
-    )
-    return sorted(r["k"] for r in rows)
-
-
-def sample_types_for(df: DataFrame, payload_col: str, names: list[str]) -> dict[str, T.DataType]:
-    """Infer a Spark type per new column from the first non-null JSON value,
-    like the reference infers from the first event carrying the column."""
-    if not names:
-        return {}
-    agg = df.agg(
-        *[
-            F.first(F.get_json_object(F.col(payload_col), f"$.{n}"), ignorenulls=True).alias(n)
-            for n in names
-        ]
-    ).collect()[0]
-    out: dict[str, T.DataType] = {}
-    for n in names:
-        raw = agg[n]
-        if raw is None:
-            out[n] = T.StringType()
-            continue
-        try:
-            out[n] = infer_json_type(json.loads(raw))
-        except (ValueError, TypeError):
-            out[n] = T.StringType()
-    return out
 
 
 def evolution_plan(

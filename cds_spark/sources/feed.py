@@ -74,8 +74,12 @@ def change_feed(
     - ``dup_pct``% of events are delivered twice (same offset) — replay
       convergence must absorb them.
     - ``partition`` = hash(repo) % n_partitions, like Kafka keyed produce.
-    - content is a pure function of (repo, path, commit) so any correct
-      replay reproduces identical sha256(content) per live row.
+    - content is a pure function of (repo, path, commit, offset) — the
+      repeat count derives from the offset hash — so any replay that
+      resolves the SAME winning event per key (the (commit, offset) LWW
+      rule) reproduces identical sha256(content) per live row. Two events
+      sharing a commit window for one key carry different content; only
+      the full version tuple identifies the bytes.
     """
     df = spark.range(start_offset, start_offset + n_events).withColumnRenamed("id", "offset")
     o = F.col("offset")
@@ -174,6 +178,8 @@ def write_feed_files(
     source picks files up in arrival order). Returns slice offset ranges."""
     os.makedirs(out_dir, exist_ok=True)
     bounds = feed.agg(F.min("offset"), F.max("offset")).collect()[0]
+    if bounds[0] is None:
+        return []  # empty feed (e.g. a pre-filtered offset window)
     lo, hi = bounds[0], bounds[1] + 1
     step = max(1, (hi - lo + n_slices - 1) // n_slices)
     ranges = []

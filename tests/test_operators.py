@@ -722,3 +722,52 @@ def test_multiprobe_lsh_recall_on_planted_neighbors(spark):
         qv, nv = vecs[r.query_id], vecs[r.neighbor_id]
         e = float(np.dot(qv, nv) / (np.linalg.norm(qv) * np.linalg.norm(nv)))
         assert math.isclose(r.cos_sim, round(e, 6), abs_tol=2e-6)
+
+
+def test_decode_canal_batch_same_pk_rows_stay_lww_distinct(spark):
+    """Two changes to ONE PK inside one canal batch message must decode to
+    DISTINCT _offsets (message offset composed with row position) so the
+    LWW winner is the later row, deterministically — not an arbitrary
+    same-version tie."""
+    from cds_spark.operators.decode import CANAL_BATCH_STRIDE, decode_canal
+    from cds_spark.operators.dedup import lww_collapse
+
+    payload = ('{"type":"UPDATE","data":['
+               '{"id":"1","v":"first"},{"id":"1","v":"second"}]}')
+    df = spark.createDataFrame([(payload, 7)], "value string, off long")
+    dec = decode_canal(df, offset_col="off").collect()
+    offs = sorted(r["_offset"] for r in dec)
+    assert offs == [7 * CANAL_BATCH_STRIDE, 7 * CANAL_BATCH_STRIDE + 1]
+    rows = decode_canal(df, offset_col="off").select(
+        F.col("data")["id"].alias("id"), F.col("data")["v"].alias("v"),
+        "_offset")
+    win = lww_collapse(rows, ["id"], ["_offset"]).collect()
+    assert len(win) == 1 and win[0]["v"] == "second"
+
+
+def test_lenient_coercion_never_fails_under_ansi(spark):
+    """'NaN'/'Infinity'/overflow strings in numeric/timestamp columns must
+    yield the documented fallbacks, not an ANSI cast exception killing
+    the batch (Spark 4 runs ANSI by default)."""
+    import pyspark.sql.types as T
+
+    from cds_spark.schema import coerce
+
+    df = spark.createDataFrame(
+        [("NaN",), ("Infinity",), ("1e30",), ("300",),
+         ("99999999999999999",), ("x",)], "s string")
+    out = df.select(
+        coerce(F.col("s"), T.LongType()).alias("l"),
+        coerce(F.col("s"), T.ByteType()).alias("b"),
+        coerce(F.col("s"), T.DoubleType()).alias("d"),
+        coerce(F.col("s"), T.TimestampType()).alias("t"),
+    ).collect()  # must not raise
+    by_s = dict(zip(["NaN", "Infinity", "1e30", "300",
+                     "99999999999999999", "x"],
+                    out))
+    assert by_s["NaN"]["l"] == 0 and by_s["Infinity"]["l"] == 0
+    assert by_s["1e30"]["l"] == 0          # beyond long: fallback, no throw
+    assert by_s["300"]["l"] == 300 and by_s["300"]["b"] == 0  # byte overflow
+    assert by_s["x"]["l"] == 0 and by_s["x"]["d"] == 0.0
+    # huge epoch-like number: falls back to epoch instead of overflowing
+    assert by_s["99999999999999999"]["t"] is not None
