@@ -133,4 +133,8 @@ def l2_norm(a: Column | str) -> Column:
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    # try_divide: an all-zero vector (failed upstream embedding, padding)
+    # makes the denominator exactly 0.0, and ANSI mode (Spark 4 default)
+    # would throw DIVIDE_BY_ZERO and kill the whole job — yield NULL for
+    # that pair instead (sorts last under desc ranking, fails thresholds)
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))

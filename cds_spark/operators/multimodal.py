@@ -249,7 +249,11 @@ def extract_features_real(media: DataFrame) -> DataFrame:
             ):
                 try:
                     d = decode_real(bytes(p), mt)
-                except (NotImplementedError, ValueError):
+                except Exception:
+                    # DLQ-style leniency: decoding arbitrary bytes can
+                    # raise wave.Error / struct.error / zlib.error /
+                    # EOFError... — a corrupt blob yields NULL features,
+                    # never a failed batch
                     d = {"width": None, "height": None, "bit_depth": None,
                          "sample_rate": None, "duration_ms": None,
                          "feat_mean": None}

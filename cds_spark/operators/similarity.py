@@ -220,20 +220,16 @@ WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[
 
 
 def _bucket_expr(vec: F.Column, dim: int) -> F.Column:
-    """Random-hyperplane LSH bucket id (sum of sign bits)."""
+    """Random-hyperplane LSH bucket id (sum of sign bits). One dot-product
+    definition (:func:`_dot_expr`) — the fold must stay bit-identical with
+    the band/bucket exprs and the SQL oracles for cross-engine sign parity,
+    so there is exactly one copy to keep right."""
     hps = hyperplanes(dim)
     bucket = F.lit(0).cast("long")
     for j in range(LSH_BITS):
-        dot_j = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(x) for x in hps[j]]),
-                lambda a, b: a.cast("double") * b,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.when(dot_j > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bucket + (
+            F.when(_dot_expr(vec, hps[j]) > 0, F.lit(2**j).cast("long"))
+            .otherwise(F.lit(0).cast("long")))
     return bucket
 
 

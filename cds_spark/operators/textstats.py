@@ -32,9 +32,14 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     n_chars = F.length("text").cast("long")
     n_stop = F.size(F.filter(w, lambda t: t.isin(*STOPWORDS))).cast("long")
     alpha_chars = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", "")).cast("long")
-    stop_ratio = F.round(n_stop.cast("double") / n_words, 6)
-    alpha_ratio = F.round(alpha_chars.cast("double") / n_chars, 6)
-    avg_word_len = F.round(n_chars.cast("double") / n_words, 6)
+    # greatest(denom, 1): an empty doc must yield defined ratios (0), not
+    # an ANSI DIVIDE_BY_ZERO that kills the job (Spark 4 default); the SQL
+    # oracle applies the identical guard so the hash-match is unaffected
+    nw = F.greatest(n_words, F.lit(1))
+    nc = F.greatest(n_chars, F.lit(1))
+    stop_ratio = F.round(n_stop.cast("double") / nw, 6)
+    alpha_ratio = F.round(alpha_chars.cast("double") / nc, 6)
+    avg_word_len = F.round(n_chars.cast("double") / nw, 6)
     score = F.round(
         F.least(stop_ratio * 2.0, F.lit(0.4)) + F.least(alpha_ratio, F.lit(0.4))
         + F.when((avg_word_len >= 3) & (avg_word_len <= 10), 0.2).otherwise(0.0),
@@ -59,12 +64,12 @@ WITH base AS (
   FROM documents
 )
 SELECT doc_id, n_chars, n_words,
-       round(n_stop::DOUBLE / n_words, 6) AS stop_ratio,
-       round(alpha_chars::DOUBLE / n_chars, 6) AS alpha_ratio,
-       round(n_chars::DOUBLE / n_words, 6) AS avg_word_len,
-       round(least(round(n_stop::DOUBLE / n_words, 6) * 2.0, 0.4)
-             + least(round(alpha_chars::DOUBLE / n_chars, 6), 0.4)
-             + CASE WHEN round(n_chars::DOUBLE / n_words, 6) BETWEEN 3 AND 10 THEN 0.2 ELSE 0.0 END,
+       round(n_stop::DOUBLE / greatest(n_words, 1), 6) AS stop_ratio,
+       round(alpha_chars::DOUBLE / greatest(n_chars, 1), 6) AS alpha_ratio,
+       round(n_chars::DOUBLE / greatest(n_words, 1), 6) AS avg_word_len,
+       round(least(round(n_stop::DOUBLE / greatest(n_words, 1), 6) * 2.0, 0.4)
+             + least(round(alpha_chars::DOUBLE / greatest(n_chars, 1), 6), 0.4)
+             + CASE WHEN round(n_chars::DOUBLE / greatest(n_words, 1), 6) BETWEEN 3 AND 10 THEN 0.2 ELSE 0.0 END,
              6) AS quality_score
 FROM base
 """

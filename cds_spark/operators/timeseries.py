@@ -59,6 +59,12 @@ def asof_join(
     # carry-forward matches for every left row. NULL-ts LEFT rows also sort
     # first and therefore see no right row — kept, right columns NULL.
     right = right.filter(F.col(right_ts).isNotNull())
+    # A NULL JOIN KEY must never match either: SQL's l.k = r.k is false on
+    # NULLs, but Window.partitionBy GROUPS them — a NULL-keyed right row
+    # would enrich every NULL-keyed left row. Drop NULL-keyed rights;
+    # NULL-keyed lefts stay, unenriched, like the SQL LEFT JOIN.
+    for k in keys:
+        right = right.filter(F.col(k).isNotNull())
     rv = F.struct(
         F.col(right_ts).alias("_rts"), *[F.col(c) for c in right_cols]
     )

@@ -232,6 +232,16 @@ def get_spark(
     if extra_conf:
         conf.update(extra_conf)
     _merge_java_opts(conf)
+    if fs_cp:
+        # a caller-supplied extraClassPath must MERGE with the
+        # FastLocalFileSystem class dir, not clobber it — fs.file.impl
+        # still names the class, so dropping it from the classpath bricks
+        # every file operation with ClassNotFoundException (the same
+        # clobbering _merge_java_opts prevents for extraJavaOptions)
+        cp = conf.get("spark.driver.extraClassPath", "")
+        if fs_cp not in cp.split(os.pathsep):
+            conf["spark.driver.extraClassPath"] = (
+                f"{cp}{os.pathsep}{fs_cp}" if cp else fs_cp)
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

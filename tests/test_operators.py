@@ -771,3 +771,38 @@ def test_lenient_coercion_never_fails_under_ansi(spark):
     assert by_s["x"]["l"] == 0 and by_s["x"]["d"] == 0.0
     # huge epoch-like number: falls back to epoch instead of overflowing
     assert by_s["99999999999999999"]["t"] is not None
+
+
+def test_quality_scores_empty_doc_and_zero_vector_cosine_never_fail(spark):
+    """ANSI divide-by-zero guards: an empty document and an all-zero
+    embedding must yield defined results, not kill the job."""
+    from cds_spark.functions import cosine
+    from cds_spark.operators.textstats import quality_scores
+
+    docs = spark.createDataFrame([(1, ""), (2, "a normal doc here")],
+                                 "doc_id long, text string")
+    rows = {r.doc_id: r for r in quality_scores(docs).collect()}  # no raise
+    assert rows[1].alpha_ratio == 0.0 and rows[1].n_chars == 0
+
+    emb = spark.createDataFrame(
+        [(1, [0.0] * 4, [1.0, 0.0, 0.0, 0.0])],
+        "id long, za array<float>, b array<float>")
+    r = emb.select(cosine("za", "b").alias("c")).collect()[0]  # no raise
+    assert r.c is None  # NULL, sorts last / fails thresholds
+
+
+def test_asof_join_null_keys_never_match(spark):
+    """SQL's l.k = r.k is false on NULLs; Window.partitionBy groups them —
+    the operator must not let NULL-keyed rows enrich each other."""
+    from cds_spark.operators.timeseries import asof_join
+    import datetime
+
+    t1 = datetime.datetime(2024, 1, 1)
+    t2 = datetime.datetime(2024, 1, 2)
+    left = spark.createDataFrame([(None, t2), ("k", t2)],
+                                 "k string, ts timestamp")
+    right = spark.createDataFrame([(None, t1, "ghost"), ("k", t1, "real")],
+                                  "k string, ts timestamp, v string")
+    out = {r.k: r for r in asof_join(left, right, on="k").collect()}
+    assert out["k"].v == "real"
+    assert out[None].v is None, "NULL-keyed right row must not match"
