@@ -408,3 +408,34 @@ def test_deltalog_random_commit_sequences_materialize_exactly(
         assert m["files"] == files, f"seed={seed} v{v} diverged"
         assert m["version"] == v
         assert m["pk"] == ["k"] and m["n_buckets"] == 4
+
+
+@settings(max_examples=3, deadline=None)
+@given(st.lists(
+    st.one_of(
+        st.text(max_size=40),
+        st.from_regex(r"-?[0-9]{1,25}(\.[0-9]{1,10})?([eE][-+]?[0-9]{1,3})?",
+                      fullmatch=True),
+        st.sampled_from(["NaN", "Infinity", "-Infinity", "null", "",
+                         '{"$numberLong": "99999999999999999999"}',
+                         '{"$date": 999999999999999999}',
+                         '{"$date": {"$numberLong": "-99999999999999999"}}']),
+    ),
+    min_size=1, max_size=60))
+def test_coerce_never_raises_on_arbitrary_strings(spark, values):
+    """The never-fail contract, fuzzed: coercing ARBITRARY strings to every
+    numeric/temporal/bool target must never throw (Spark 4 ANSI mode made
+    plain casts throw on NaN/Inf/overflow — every narrowing step must be
+    try_cast, every epoch multiply guarded)."""
+    from cds_spark.schema import coerce
+
+    df = spark.createDataFrame([(v,) for v in values], "s string")
+    out = df.select(*[
+        coerce(F.col("s"), dt).alias(f"c{i}")
+        for i, dt in enumerate([
+            T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType(),
+            T.FloatType(), T.DoubleType(), T.TimestampType(), T.DateType(),
+            T.BooleanType(), T.StringType(),
+        ])
+    ]).collect()  # must not raise
+    assert len(out) == len(values)
