@@ -91,6 +91,7 @@ def cdc_replay(
     feed_paths: list[str] | None = None,
     warmup: bool = True,
     maintenance_every: int = 0,
+    table_properties: dict | None = None,
 ) -> dict:
     """End-to-end replay of a materialized change log: per micro-batch, read
     the feed slice -> decode (from_json) -> typed rows -> MERGE into a fresh
@@ -144,7 +145,7 @@ def cdc_replay(
     table = LakeTable.create(
         spark, root, REPO_SCHEMA, pk=["repo", "path"],
         version_cols=["commit", "_offset"], n_buckets=n_buckets,
-        properties={"merge_mode": mode},
+        properties={"merge_mode": mode, **(table_properties or {})},
     )
     batch_secs = []
     maint_secs = []

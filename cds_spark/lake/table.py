@@ -1479,10 +1479,25 @@ class LakeTable:
         # many cores or how big the buckets
         n_in_df = n_buckets_hint or self.n_buckets
         salt_n = max(1, (4 * n_partitions + n_in_df - 1) // n_in_df)
-        salt = F.pmod(
-            F.xxhash64(F.lit(1), F.col(OFFSET), *[F.col(c) for c in self.pk]),
-            F.lit(salt_n),
-        )
+        # write.salt property: "row" (default) salts by (offset, pk) so a
+        # single hot key spreads across salt_n partitions; "key" salts by
+        # pk alone (buckets spread, but one hot key still lands in ONE
+        # partition — kept as the A/B control for the skew bench); "none"
+        # shuffles on bare bucket ids (balls-into-bins capping parallelism).
+        # All three produce the same table state (LWW collapse is
+        # partitioning-independent); only task balance differs.
+        salt_mode = self.properties.get("write.salt", "row")
+        if salt_mode == "none":
+            salt = F.lit(0)
+        elif salt_mode == "key":
+            salt = F.pmod(
+                F.xxhash64(F.lit(1), *[F.col(c) for c in self.pk]), F.lit(salt_n)
+            )
+        else:
+            salt = F.pmod(
+                F.xxhash64(F.lit(1), F.col(OFFSET), *[F.col(c) for c in self.pk]),
+                F.lit(salt_n),
+            )
         txn_rel = os.path.join(DATA_DIR, txn_name)
         txn_dir = os.path.join(self.root, txn_rel)
         (

@@ -365,3 +365,149 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM (
   FROM scored
 ) WHERE rank <= {TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF-Flat ANN: coarse-quantizer partitioning (the FAISS IVF shape)
+# ---------------------------------------------------------------------------
+# The second classic ANN scale path next to hyperplane LSH: partition the
+# corpus into M cells around centroids, search only the nprobe cells nearest
+# each query. Centroids here are DATA-POINT SEEDS chosen deterministically
+# (the M corpus vectors with the smallest cross-engine md5 hash of vec_id) —
+# "k-means with zero Lloyd iterations". A real deployment would refine them
+# with a few iterations; seeding is the part that must be deterministic for
+# the DuckDB oracle, and every downstream mechanic (assignment, probe
+# routing, candidate join, rank) is identical with refined centroids.
+
+IVF_M = 16  # cells
+IVF_NPROBE = 2  # cells searched per query
+
+
+def _ivf_centroids(emb: DataFrame, m: int = IVF_M) -> list[tuple[int, list[float]]]:
+    """The m corpus vectors with the smallest (stable md5 hash, vec_id) —
+    a deterministic uniform sample (hash-ordered, so unbiased by id order).
+    Driver-bounded: collects exactly m rows."""
+    from cds_spark.operators.textdedup import _stable_hash_expr
+
+    rows = (
+        emb.withColumn("_h", _stable_hash_expr(F.col("vec_id").cast("string")))
+        .orderBy("_h", "vec_id")
+        .limit(m)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return [(int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows]
+
+
+def _ivf_best_structs(vec, cents: list[tuple[int, list[float]]]):
+    """array<struct(cos_sim, -centroid_id)> — array_max over it = argmax by
+    (score, then SMALLEST centroid id), matching the oracle's
+    ORDER BY cs DESC, centroid_id ASC. Scores round to 6 decimals before
+    compare (the file-wide cross-engine convention)."""
+    structs = []
+    for cid, cv in cents:
+        lit = F.array(*[F.lit(x) for x in cv])
+        score = F.round(cosine(vec, lit), 6)
+        structs.append(F.struct(score.alias("s"), F.lit(-cid).cast("long").alias("nc")))
+    return F.array(*structs)
+
+
+def ivf_topk(
+    emb: DataFrame,
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    m: int = IVF_M,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF-Flat ANN: assign every corpus vector to its nearest centroid
+    (cell), search each query's ``nprobe`` nearest cells with exact cosine.
+
+    100 TB shape: centroid assignment is a PURE MAP-SIDE expression (the M
+    centroid vectors inlined as literals — no crossJoin, no shuffle); the
+    only shuffles are the broadcast-query probe join on ``centroid_id`` and
+    the final per-query rank. Candidate volume ~ corpus * nprobe / m.
+    Recall < 1 by design: a true neighbor assigned to an unprobed cell is
+    missed — raise nprobe (or refine centroids) to trade cost for recall;
+    with m=1 the result equals brute_force_topk exactly (test-asserted)."""
+    cents = _ivf_centroids(emb, m)
+    spread = _spread(emb)
+    corpus = spread.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("nv"),
+        (-F.array_max(_ivf_best_structs(F.col("embedding"), cents)).getField("nc"))
+        .cast("long")
+        .alias("centroid_id"),
+    )
+    # nprobe nearest cells per query: sort the per-centroid structs desc by
+    # (score, -cid) and take the head — same tie rule as the assignment
+    probe_arr = F.slice(
+        F.reverse(F.array_sort(_ivf_best_structs(F.col("embedding"), cents))),
+        1,
+        nprobe,
+    )
+    q = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.explode(probe_arr).alias("_probe"),
+        )
+        .select(
+            "query_id", "qv", (-F.col("_probe.nc")).cast("long").alias("centroid_id")
+        )
+    )
+    # a neighbor lives in exactly one cell and each query probes distinct
+    # cells, so a (query, neighbor) pair surfaces at most once — no dedup
+    scored = (
+        F.broadcast(q)
+        .join(corpus, ["centroid_id"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(cosine("qv", "nv"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def ivf_topk_sql(m: int = IVF_M, nprobe: int = IVF_NPROBE) -> str:
+    from cds_spark.operators.textdedup import _stable_hash_sql
+
+    h = _stable_hash_sql("CAST(vec_id AS VARCHAR)")
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+  FROM embeddings ORDER BY {h}, vec_id LIMIT {m}
+),
+scored_assign AS (
+  SELECT e.vec_id, c.centroid_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) AS cs
+  FROM embeddings e CROSS JOIN cent c
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, centroid_id ASC) AS rn
+    FROM scored_assign) WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS query_id, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, centroid_id ASC) AS rn
+    FROM scored_assign WHERE vec_id < {N_QUERIES}) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         round(list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]), 6) AS cos_sim
+  FROM qprobe q JOIN assign a USING (centroid_id)
+  JOIN embeddings qe ON qe.vec_id = q.query_id
+  JOIN embeddings ne ON ne.vec_id = a.vec_id
+  WHERE q.query_id <> a.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""

@@ -1157,6 +1157,12 @@ def q_ann_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk_multiprobe(load(spark, sf_dir, "embeddings"))
 
 
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cds_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(load(spark, sf_dir, "embeddings"))
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cds_spark.operators.similarity import near_dup_pairs
 
@@ -1470,6 +1476,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk_lsh": q_ann_topk_lsh,
     "ann_cosine_topk_indexed": q_ann_topk_indexed,
     "ann_cosine_topk_lsh_multiprobe": q_ann_topk_lsh_multiprobe,
+    "ann_cosine_topk_ivf": q_ann_topk_ivf,
     "text_quality_scores": q_text_quality,
     "text_lang_id": q_lang_id,
     "text_token_counts": q_token_counts,
@@ -1535,6 +1542,7 @@ def _training_oracles() -> dict[str, str]:
         # SAME batch SQL, blind to the add/bucket-move/delete history
         "ann_cosine_topk_indexed": similarity.lsh_bucketed_topk_sql(),
         "ann_cosine_topk_lsh_multiprobe": similarity.lsh_bucketed_topk_multiprobe_sql(),
+        "ann_cosine_topk_ivf": similarity.ivf_topk_sql(),
         "text_quality_scores": textstats.QUALITY_SQL,
         "text_lang_id": textstats.LANG_ID_SQL,
         "text_token_counts": textstats.TOKEN_COUNT_SQL,

@@ -413,3 +413,32 @@ def test_lookup_rejects_uncastable_and_handles_empty(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="castable"):
         t.lookup([{"id": "not-a-number"}])           # uncastable -> clear error
+
+
+def test_salt_modes_converge_to_identical_state(spark, tmp_path):
+    """`write.salt` (row/key/none) changes only write-task balance, never
+    semantics: a single-hot-key feed (the skew case tools/bench_skew.py
+    measures) replays to the identical final state under all three modes,
+    and that state matches the independent pandas oracle."""
+    from cds_spark.functions import state_digest
+
+    hot = change_feed(
+        spark, 40_000, n_repos=200, paths_per_repo=4, skew=12.0, seed=11
+    ).persist()
+    oracle = reference_replay_pandas([r.asDict() for r in hot.collect()])
+    digests = {}
+    for mode in ("row", "key", "none"):
+        root = str(tmp_path / f"salt_{mode}")
+        table = LakeTable.create(
+            spark, root, REPO_SCHEMA, pk=["repo", "path"],
+            version_cols=["commit", "_offset"], n_buckets=8,
+            properties={"merge_mode": "append", "write.salt": mode},
+        )
+        events = decode_feed(hot, inject={"commit": "commit"})
+        rows, _ = events_to_rows(events, table.schema, table.pk)
+        table.merge(rows, fence=("salt", 0))
+        table.compact(purge_tombstones=True)
+        digests[mode] = state_digest(table.current())
+        _assert_matches_oracle(table, oracle)
+    hot.unpersist()
+    assert len(set(digests.values())) == 1, digests

@@ -806,3 +806,31 @@ def test_asof_join_null_keys_never_match(spark):
     out = {r.k: r for r in asof_join(left, right, on="k").collect()}
     assert out["k"].v == "real"
     assert out[None].v is None, "NULL-keyed right row must not match"
+
+
+def test_ivf_topk_m1_equals_brute_force_and_sims_exact(spark):
+    """IVF sanity: with a single cell (m=1, nprobe=1) every corpus vector is
+    a candidate for every query, so IVF-Flat degenerates to brute force
+    EXACTLY. And at the default (m=16, nprobe=2) every reported sim must be
+    the true cosine for that pair (candidate pruning never alters scores)."""
+    import numpy as np
+
+    from cds_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = _emb(spark).limit(400)
+    brute = sorted(
+        ((r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+         for r in brute_force_topk(emb).collect())
+    )
+    one_cell = sorted(
+        ((r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+         for r in ivf_topk(emb, m=1, nprobe=1).collect())
+    )
+    assert one_cell == brute
+    rows = {r.vec_id: np.array(r.embedding, dtype="float64") for r in emb.collect()}
+    got = ivf_topk(emb).collect()
+    assert len(got) > 0
+    for r in got:
+        qv, nv = rows[r.query_id], rows[r.neighbor_id]
+        exact = float(np.dot(qv, nv) / (np.linalg.norm(qv) * np.linalg.norm(nv)))
+        assert math.isclose(r.cos_sim, round(exact, 6), abs_tol=2e-6)
