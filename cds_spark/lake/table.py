@@ -1478,7 +1478,17 @@ class LakeTable:
         # otherwise get salt_n=1 -> 3 shuffle keys -> 3 tasks no matter how
         # many cores or how big the buckets
         n_in_df = n_buckets_hint or self.n_buckets
-        salt_n = max(1, (4 * n_partitions + n_in_df - 1) // n_in_df)
+        # write.salt_n overrides the spread: the default formula targets ~4
+        # shuffle keys per write partition (file-count bound), which caps the
+        # hot-key spread at salt_n partitions — a workload where one key
+        # carries >10% of a batch wants a wider spread and accepts the extra
+        # files (compact absorbs them); tools/bench_skew.py measures the trade
+        salt_n = int(
+            self.properties.get(
+                "write.salt_n",
+                max(1, (4 * n_partitions + n_in_df - 1) // n_in_df),
+            )
+        )
         # write.salt property: "row" (default) salts by (offset, pk) so a
         # single hot key spreads across salt_n partitions; "key" salts by
         # pk alone (buckets spread, but one hot key still lands in ONE

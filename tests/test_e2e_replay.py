@@ -427,12 +427,17 @@ def test_salt_modes_converge_to_identical_state(spark, tmp_path):
     ).persist()
     oracle = reference_replay_pandas([r.asDict() for r in hot.collect()])
     digests = {}
-    for mode in ("row", "key", "none"):
+    for mode, extra in (
+        ("row", {}),
+        ("key", {}),
+        ("none", {}),
+        ("row_wide", {"write.salt": "row", "write.salt_n": "16"}),
+    ):
         root = str(tmp_path / f"salt_{mode}")
         table = LakeTable.create(
             spark, root, REPO_SCHEMA, pk=["repo", "path"],
             version_cols=["commit", "_offset"], n_buckets=8,
-            properties={"merge_mode": "append", "write.salt": mode},
+            properties={"merge_mode": "append", "write.salt": mode, **extra},
         )
         events = decode_feed(hot, inject={"commit": "commit"})
         rows, _ = events_to_rows(events, table.schema, table.pk)
