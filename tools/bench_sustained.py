@@ -40,11 +40,22 @@ N_BATCHES = int(os.environ.get("CDS_SUSTAINED_BATCHES", "16"))
 
 
 def _flatness(batch_secs: list[float]) -> float:
-    """mean(last quarter) / mean(first quarter) of per-batch wall times."""
+    """mean(last quarter) / median(all batches) of per-batch wall times.
+
+    ~1.0 = the last batches (written into the LARGEST table state) cost the
+    same as a typical batch — no table-size term in the per-batch cost.
+    The median denominator is deliberate: the first batches carry JIT
+    warm-in and this VM throws multi-second noise spikes at arbitrary
+    batches (observed: batch 2 at 10.5s between 2.3s neighbors), and a
+    mean-of-head denominator would let that noise masquerade as (inverse)
+    growth. A table-size term would still show: it inflates the TAIL mean
+    against the median of the whole run."""
+    import statistics
+
     q = max(1, len(batch_secs) // 4)
-    head = sum(batch_secs[:q]) / q
+    med = statistics.median(batch_secs)
     tail = sum(batch_secs[-q:]) / q
-    return round(tail / head, 3) if head > 0 else float("nan")
+    return round(tail / med, 3) if med > 0 else float("nan")
 
 
 def main() -> None:
