@@ -120,6 +120,13 @@ def cmd_create_table(args) -> int:
     from cds_spark.lake.table import LakeTable
 
     schema = parse_schema(args.schema)
+    extra = {}
+    for kv in getattr(args, "property", []) or []:
+        if "=" not in kv:
+            print(f"--property expects KEY=VALUE, got {kv!r}", file=sys.stderr)
+            return 2
+        k, v = kv.split("=", 1)
+        extra[k] = v
     table = LakeTable.create(
         _spark(args),
         args.root,
@@ -127,7 +134,7 @@ def cmd_create_table(args) -> int:
         pk=args.pk.split(","),
         version_cols=args.version_cols.split(","),
         n_buckets=args.buckets,
-        properties={"merge_mode": args.merge_mode},
+        properties={"merge_mode": args.merge_mode, **extra},
     )
     print(json.dumps({"root": table.root, "version": table.version,
                       "schema": [f.name for f in schema.fields]}))
@@ -596,6 +603,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="comma-separated LWW version columns (may include _offset)")
     sp.add_argument("--buckets", type=int, default=64)
     sp.add_argument("--merge-mode", choices=["append", "upsert"], default="append")
+    sp.add_argument(
+        "--property", action="append", default=[], metavar="KEY=VALUE",
+        help="extra table property (repeatable), e.g. write.salt=auto, "
+             "write.salt_n=32, target_file_bytes=134217728")
     sp.set_defaults(fn=cmd_create_table)
 
     sp = sub.add_parser("generate-create-sql",

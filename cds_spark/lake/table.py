@@ -1451,6 +1451,34 @@ class LakeTable:
         return out.select(*out_cols)
 
     # ------------------------------------------------------------- write
+    def _auto_salt_n(self, df: DataFrame, default_n: int, n_partitions: int) -> int:
+        """write.salt="auto": size the row-salt spread to the batch's
+        measured hot-key share so the hottest key's per-partition volume
+        lands near the mean. One sampled aggregation per write (~5% of the
+        batch, one extra Spark job) estimates max-key-share; then
+        ``salt_n >= hot_share * n_partitions`` spreads the hot key across
+        enough partitions that its straggler factor ~ 1 (x1.5 headroom for
+        the estimate). Bounded below by the file-count default and above by
+        n_partitions (wider buys nothing — there are only n_partitions
+        tasks). Falls back to the default on tiny/empty samples, where both
+        the estimate and the skew are meaningless."""
+        try:
+            row = (
+                df.sample(fraction=0.05, seed=7)
+                .groupBy(*[F.col(c) for c in self.pk])
+                .count()
+                .agg(F.max("count").alias("mx"), F.sum("count").alias("total"))
+                .collect()[0]
+            )
+            if not row["total"] or row["total"] < 200:
+                return default_n
+            hot_share = row["mx"] / row["total"]
+            return min(
+                n_partitions, max(default_n, int(hot_share * n_partitions * 1.5) + 1)
+            )
+        except Exception:
+            return default_n
+
     def _write_txn(
         self,
         df: DataFrame,
@@ -1490,13 +1518,18 @@ class LakeTable:
             )
         )
         # write.salt property: "row" (default) salts by (offset, pk) so a
-        # single hot key spreads across salt_n partitions; "key" salts by
+        # single hot key spreads across salt_n partitions; "auto" = row
+        # salt with the spread ADAPTED to the batch's measured hot-key
+        # share (the write-side analog of AQE's skew-join splitting, which
+        # covers joins but not DataFrameWriter shuffles); "key" salts by
         # pk alone (buckets spread, but one hot key still lands in ONE
         # partition — kept as the A/B control for the skew bench); "none"
         # shuffles on bare bucket ids (balls-into-bins capping parallelism).
-        # All three produce the same table state (LWW collapse is
+        # All modes produce the same table state (LWW collapse is
         # partitioning-independent); only task balance differs.
         salt_mode = self.properties.get("write.salt", "row")
+        if salt_mode == "auto":
+            salt_n = self._auto_salt_n(df, salt_n, n_partitions)
         if salt_mode == "none":
             salt = F.lit(0)
         elif salt_mode == "key":

@@ -224,3 +224,20 @@ def test_cli_alter_add_widen_drop(spark, tmp_path, capsys):
         main(["alter", "--root", root, "--drop", "repo"])   # PK protected
     with pytest.raises(SystemExit):
         main(["alter", "--root", root])                     # nothing to do
+
+
+def test_create_table_property_passthrough(capsys, spark, tmp_path):
+    """create-table --property KEY=VALUE lands in the table's properties
+    (the surface for write.salt / write.salt_n / target_file_bytes)."""
+    root = str(tmp_path / "proptable")
+    _run(capsys, [
+        "create-table", "--root", root,
+        "--schema", "repo:string,path:string,commit:string,content:string",
+        "--pk", "repo,path", "--version-cols", "commit,_offset",
+        "--buckets", "8",
+        "--property", "write.salt=auto", "--property", "write.salt_n=16",
+    ])
+    t = LakeTable.load(spark, root)
+    assert t.properties["write.salt"] == "auto"
+    assert t.properties["write.salt_n"] == "16"
+    assert t.properties["merge_mode"] == "append"

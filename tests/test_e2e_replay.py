@@ -447,3 +447,43 @@ def test_salt_modes_converge_to_identical_state(spark, tmp_path):
         _assert_matches_oracle(table, oracle)
     hot.unpersist()
     assert len(set(digests.values())) == 1, digests
+
+
+def test_auto_salt_widens_spread_for_hot_key_batch(spark, tmp_path):
+    """write.salt=auto sizes the row-salt spread to the batch's measured
+    hot-key share: a batch dominated by one key must write MORE files into
+    that key's bucket than the file-count-bounded default would, and the
+    final state must stay oracle-exact."""
+    from collections import Counter
+
+    # paths_per_repo=1 + skew=30 -> the single hottest key carries ~80% of
+    # all events; n_buckets=64 keeps the file-count-bounded default salt at
+    # 1 (4*8 shuffle partitions / 64 buckets), so the widened spread is
+    # observable as extra files in the hot bucket
+    hot = change_feed(
+        spark, 60_000, n_repos=400, paths_per_repo=1, skew=30.0, seed=13
+    ).persist()
+    oracle = reference_replay_pandas([r.asDict() for r in hot.collect()])
+
+    def replay(mode_props, name):
+        root = str(tmp_path / name)
+        t = LakeTable.create(
+            spark, root, REPO_SCHEMA, pk=["repo", "path"],
+            version_cols=["commit", "_offset"], n_buckets=64,
+            properties={"merge_mode": "append", **mode_props},
+        )
+        events = decode_feed(hot, inject={"commit": "commit"})
+        rows, _ = events_to_rows(events, t.schema, t.pk)
+        t.merge(rows, fence=("auto", 0))
+        return t
+
+    t_def = replay({}, "salt_default")
+    t_auto = replay({"write.salt": "auto"}, "salt_auto")
+
+    def max_bucket_files(t):
+        return max(Counter(e["bucket"] for e in t.manifest["files"]).values())
+
+    assert max_bucket_files(t_auto) > max_bucket_files(t_def), (
+        max_bucket_files(t_auto), max_bucket_files(t_def))
+    _assert_matches_oracle(t_auto, oracle)
+    hot.unpersist()
