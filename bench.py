@@ -56,6 +56,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_cosine_topk_lsh",
     "ann_cosine_topk_lsh_multiprobe",
+    "ann_cosine_topk_ivf",
     "text_quality_scores",
     "text_token_counts",
     "text_fingerprints",

@@ -1461,7 +1461,14 @@ class LakeTable:
         the estimate). Bounded below by the file-count default and above by
         n_partitions (wider buys nothing — there are only n_partitions
         tasks). Falls back to the default on tiny/empty samples, where both
-        the estimate and the skew are meaningless."""
+        the estimate and the skew are meaningless.
+
+        Cost note: sample() re-executes df's upstream plan (for a live sync
+        batch that includes the decode), so auto roughly adds one decode
+        pass per write — the price of not hand-tuning ``write.salt_n`` on a
+        workload whose skew drifts; callers that already materialize the
+        batch (foreachBatch sources are persisted by Spark) pay only the
+        sampled aggregation."""
         try:
             row = (
                 df.sample(fraction=0.05, seed=7)
