@@ -1,10 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + metadata.
 
-The container has no image/audio libraries, so the *decode* step is a
-clearly-marked deterministic stub — but everything Spark-side is real and
-tested: binary columns, typed metadata struct, Arrow-batched mapInPandas
-feature extraction (batch shape, schema, partitioning), and the manifest
-query surface.
+The container has no image/audio libraries, but three formats parse with
+stdlib alone and do so for REAL here: PNG (zlib/struct incl. pixel stats),
+WAV (wave incl. amplitude stats), MP4 (ISO/IEC 14496-12 box walk — movie
+duration/timescale and track dimensions from the container; FRAME decode
+needs a codec and stays the documented environment hook, feat_mean NULL).
+Everything Spark-side is real and tested either way: binary columns, typed
+metadata struct, Arrow-batched mapInPandas feature extraction (batch shape,
+schema, partitioning), and the manifest query surface; `_decode_stub`
+remains only as the any-format placeholder pattern.
 
 At 100TB: binaries live in the lake as parquet binary columns (or object
 storage refs); decode/feature-extract runs as mapInPandas so each Arrow
@@ -93,14 +97,17 @@ def _decode_stub(payload: bytes, media_type: str) -> dict:
 
 
 def synth_media_binary(docs: DataFrame) -> DataFrame:
-    """Deterministic REAL media payloads — genuine PNG and WAV bytes built
-    with stdlib only (zlib/struct/wave), parameters derived from doc_id so
-    tests can assert the decoded features against the generator's inputs.
-    doc_id % 2 == 0 -> PNG (width = doc_id%32+1, height = doc_id%24+1,
-    8-bit grayscale, constant pixel doc_id%256); odd -> WAV (sample_rate
-    8000, mono 16-bit, n_frames = doc_id%400+40, constant sample value
-    doc_id%1000). Runs as mapInPandas: payload synthesis is Python-side by
-    necessity (byte packing), Arrow-batched, never per-row UDFs."""
+    """Deterministic REAL media payloads — genuine PNG, WAV and MP4 bytes
+    built with stdlib only (zlib/struct/wave), parameters derived from
+    doc_id so tests (and the DuckDB oracle) can assert the decoded
+    features against the generator's inputs.
+    doc_id % 3 == 0 -> PNG (width = doc_id%32+1, height = doc_id%24+1,
+    8-bit grayscale, constant pixel doc_id%256); % 3 == 1 -> WAV
+    (sample_rate 8000, mono 16-bit, n_frames = doc_id%400+40, constant
+    sample value doc_id%1000); % 3 == 2 -> MP4 (ISO BMFF container,
+    duration_ms = doc_id%60000+1000, width = doc_id%640+16, height =
+    doc_id%360+16). Runs as mapInPandas: payload synthesis is Python-side
+    by necessity (byte packing), Arrow-batched, never per-row UDFs."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -108,19 +115,25 @@ def synth_media_binary(docs: DataFrame) -> DataFrame:
             payloads, types, metas = [], [], []
             for i in ids:
                 i = int(i)
-                if i % 2 == 0:
+                if i % 3 == 0:
                     w, h = i % 32 + 1, i % 24 + 1
                     payloads.append(_png_bytes(w, h, i % 256))
                     types.append("image/png")
                     metas.append({"width": w, "height": h,
                                   "duration_ms": None, "codec": "png"})
-                else:
+                elif i % 3 == 1:
                     nf = i % 400 + 40
                     payloads.append(_wav_bytes(8000, nf, i % 1000))
                     types.append("audio/wav")
                     metas.append({"width": None, "height": None,
                                   "duration_ms": int(nf * 1000 / 8000),
                                   "codec": "pcm_s16le"})
+                else:
+                    dur, w, h = i % 60000 + 1000, i % 640 + 16, i % 360 + 16
+                    payloads.append(_mp4_bytes(dur, w, h))
+                    types.append("video/mp4")
+                    metas.append({"width": w, "height": h,
+                                  "duration_ms": dur, "codec": "mp4"})
             yield pd.DataFrame({
                 "media_id": ids.values, "media_type": types,
                 "payload": payloads, "meta": metas,
@@ -157,6 +170,66 @@ def _wav_bytes(sample_rate: int, n_frames: int, value: int) -> bytes:
         w.setframerate(sample_rate)
         w.writeframes(struct.pack("<h", value) * n_frames)
     return buf.getvalue()
+
+
+def _mp4_box(tag: bytes, body: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", len(body) + 8) + tag + body
+
+
+def _mp4_bytes(duration_ms: int, width: int, height: int,
+               timescale: int = 1000) -> bytes:
+    """Minimal valid ISO BMFF (MP4) container, stdlib only — ftyp + moov
+    (mvhd / trak(tkhd + mdia(mdhd))) + empty mdat, version-0 boxes per the
+    public ISO/IEC 14496-12 layout. Carries REAL container metadata
+    (movie/track duration in the declared timescale, track width/height as
+    16.16 fixed point) with no sample data — the shape a metadata pass
+    sees before any codec touches frames."""
+    import struct
+
+    dur = duration_ms * timescale // 1000
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    mvhd = _mp4_box(b"mvhd", struct.pack(
+        ">I", 0) + struct.pack(">IIII", 0, 0, timescale, dur)
+        + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+        + b"\x00" * 10
+        + struct.pack(">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24 + struct.pack(">I", 2))
+    tkhd = _mp4_box(b"tkhd", struct.pack(
+        ">I", 0x000007) + struct.pack(">IIIII", 0, 0, 1, 0, dur)
+        + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16))
+    mdhd = _mp4_box(b"mdhd", struct.pack(
+        ">I", 0) + struct.pack(">IIII", 0, 0, timescale, dur)
+        + struct.pack(">HH", 0x55C4, 0))  # language 'und'
+    mdia = _mp4_box(b"mdia", mdhd)
+    trak = _mp4_box(b"trak", tkhd + mdia)
+    moov = _mp4_box(b"moov", mvhd + trak)
+    mdat = _mp4_box(b"mdat", b"")
+    return ftyp + moov + mdat
+
+
+def _mp4_walk(buf: bytes, start: int, end: int):
+    """Yield (type, body_start, box_end) for the sibling boxes in
+    buf[start:end]. Stops on a malformed size rather than looping."""
+    import struct
+
+    off = start
+    while off + 8 <= end:
+        (size,) = struct.unpack(">I", buf[off:off + 4])
+        if size < 8 or off + size > end:
+            return
+        yield buf[off + 4:off + 8], off + 8, off + size
+        off += size
+
+
+def _mp4_find(buf: bytes, start: int, end: int, tag: bytes):
+    for t, a, b in _mp4_walk(buf, start, end):
+        if t == tag:
+            return a, b
+    return None
 
 
 def decode_real(payload: bytes, media_type: str) -> dict:
@@ -215,6 +288,39 @@ def decode_real(payload: bytes, media_type: str) -> dict:
                 "feat_mean": feat_mean,
                 "duration_ms": int(nframes * 1000 / rate),
                 "sample_rate": rate}
+    if media_type == "video/mp4":
+        # REAL ISO BMFF container parse (public ISO/IEC 14496-12 box
+        # layout), stdlib struct only: movie duration/timescale from mvhd,
+        # track dimensions from tkhd (16.16 fixed point). This is the
+        # honest codec boundary — container METADATA is parseable anywhere;
+        # frame decode/sampling needs ffmpeg and stays the environment hook
+        # (feat_mean None here, exactly like a non-grayscale PNG).
+        moov = _mp4_find(payload, 0, len(payload), b"moov")
+        if moov is None:
+            raise ValueError("not an MP4/ISO-BMFF stream (no moov box)")
+        mvhd = _mp4_find(payload, moov[0], moov[1], b"mvhd")
+        if mvhd is None:
+            raise ValueError("MP4 moov missing mvhd")
+        version = payload[mvhd[0]]
+        if version == 0:
+            timescale, dur = struct.unpack(
+                ">II", payload[mvhd[0] + 12:mvhd[0] + 20])
+        else:  # version 1: 64-bit creation/modification/duration
+            timescale, = struct.unpack(
+                ">I", payload[mvhd[0] + 20:mvhd[0] + 24])
+            dur, = struct.unpack(">Q", payload[mvhd[0] + 24:mvhd[0] + 32])
+        width = height = None
+        trak = _mp4_find(payload, moov[0], moov[1], b"trak")
+        if trak is not None:
+            tkhd = _mp4_find(payload, trak[0], trak[1], b"tkhd")
+            if tkhd is not None:
+                w_fixed, h_fixed = struct.unpack(
+                    ">II", payload[tkhd[1] - 8:tkhd[1]])
+                width, height = w_fixed >> 16, h_fixed >> 16
+        return {"width": width, "height": height, "bit_depth": None,
+                "feat_mean": None,
+                "duration_ms": int(dur * 1000 / timescale) if timescale else None,
+                "sample_rate": None}
     raise NotImplementedError(
         f"decode for {media_type!r} requires ffmpeg/PIL, not present in this "
         "environment"

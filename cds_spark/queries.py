@@ -1289,9 +1289,10 @@ FROM documents
 
 def q_multimodal_real_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode, fully oracle-checked: synth_media_binary builds
-    genuine PNG/WAV bytes whose parameters are deterministic functions of
-    doc_id (multimodal.py:95-129), extract_features_real parses them back
-    with stdlib codecs — so DuckDB can compute the expected
+    genuine PNG/WAV/MP4 bytes whose parameters are deterministic functions
+    of doc_id (multimodal.py:95-129), extract_features_real parses them
+    back with stdlib codecs (MP4 = ISO-BMFF container metadata; frame
+    stats need a codec and stay NULL) — so DuckDB can compute the expected
     width/height/bit_depth/sample_rate/duration/feat_mean WITHOUT decoding
     any bytes and hash-match the Python decoder's output. (n_bytes is
     excluded: PNG size depends on zlib's compressed length, which SQL
@@ -1313,15 +1314,20 @@ def q_multimodal_real_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_MULTIMODAL_REAL = """
 SELECT doc_id AS media_id,
-       CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS media_type,
-       CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 32 + 1 AS INTEGER) END AS width,
-       CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 24 + 1 AS INTEGER) END AS height,
-       CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS INTEGER) AS bit_depth,
-       CASE WHEN doc_id % 2 = 1 THEN CAST(8000 AS INTEGER) END AS sample_rate,
-       CASE WHEN doc_id % 2 = 1
-            THEN CAST(floor(((doc_id % 400) + 40) / 8.0) AS BIGINT) END AS duration_ms,
-       CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 256 AS DOUBLE) / 255.0
-            ELSE CAST(doc_id % 1000 AS DOUBLE) / 32768.0 END AS feat_mean
+       CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS media_type,
+       CASE doc_id % 3 WHEN 0 THEN CAST(doc_id % 32 + 1 AS INTEGER)
+            WHEN 2 THEN CAST(doc_id % 640 + 16 AS INTEGER) END AS width,
+       CASE doc_id % 3 WHEN 0 THEN CAST(doc_id % 24 + 1 AS INTEGER)
+            WHEN 2 THEN CAST(doc_id % 360 + 16 AS INTEGER) END AS height,
+       CASE doc_id % 3 WHEN 0 THEN CAST(8 AS INTEGER)
+            WHEN 1 THEN CAST(16 AS INTEGER) END AS bit_depth,
+       CASE WHEN doc_id % 3 = 1 THEN CAST(8000 AS INTEGER) END AS sample_rate,
+       CASE doc_id % 3
+            WHEN 1 THEN CAST(floor(((doc_id % 400) + 40) / 8.0) AS BIGINT)
+            WHEN 2 THEN CAST(doc_id % 60000 + 1000 AS BIGINT) END AS duration_ms,
+       CASE doc_id % 3 WHEN 0 THEN CAST(doc_id % 256 AS DOUBLE) / 255.0
+            WHEN 1 THEN CAST(doc_id % 1000 AS DOUBLE) / 32768.0 END AS feat_mean
 FROM documents
 """
 

@@ -133,13 +133,15 @@ def test_quality_and_tokens_sane(spark):
         assert r.n_regex_tokens >= r.n_whitespace_tokens > 0 or r.n_regex_tokens > 0
 
 
-def test_decode_real_png_wav_stdlib():
-    """decode_real actually parses the two formats the sandbox can handle
-    with stdlib only (zlib/struct for PNG, wave for WAV); features match
-    the generator's parameters. mp4 keeps the documented env hook."""
+def test_decode_real_png_wav_mp4_stdlib():
+    """decode_real actually parses the three formats the sandbox can handle
+    with stdlib only (zlib/struct for PNG, wave for WAV, ISO-BMFF box walk
+    for MP4 container metadata); features match the generator's parameters.
+    Frame decode for other video types keeps the documented env hook."""
     import pytest as _pytest
 
     from cds_spark.operators.multimodal import (
+        _mp4_bytes,
         _png_bytes,
         _wav_bytes,
         decode_real,
@@ -152,10 +154,16 @@ def test_decode_real_png_wav_stdlib():
     assert d["sample_rate"] == 8000
     assert d["duration_ms"] == int(200 * 1000 / 8000)
     assert abs(d["feat_mean"] - 700 / 32768.0) < 1e-12
+    d = decode_real(_mp4_bytes(42_500, 640, 360), "video/mp4")
+    assert (d["width"], d["height"]) == (640, 360)
+    assert d["duration_ms"] == 42_500
+    assert d["feat_mean"] is None  # no codec -> no frame stats, by design
     with _pytest.raises(NotImplementedError):
-        decode_real(b"bytes", "video/mp4")
+        decode_real(b"bytes", "video/webm")
     with _pytest.raises(ValueError):
         decode_real(b"not-a-png", "image/png")
+    with _pytest.raises(ValueError):
+        decode_real(b"\x00" * 64, "video/mp4")
 
 
 def test_multimodal_real_decode_arrow_path(spark):
@@ -174,16 +182,21 @@ def test_multimodal_real_decode_arrow_path(spark):
     assert set(feats) == set(ids)
     for i in ids:
         f = feats[i]
-        if i % 2 == 0:
+        if i % 3 == 0:
             assert f.media_type == "image/png"
             assert (f.width, f.height) == (i % 32 + 1, i % 24 + 1)
             assert abs(f.feat_mean - (i % 256) / 255.0) < 1e-12
-        else:
+        elif i % 3 == 1:
             assert f.media_type == "audio/wav"
             assert f.sample_rate == 8000
             nf = i % 400 + 40
             assert f.duration_ms == int(nf * 1000 / 8000)
             assert abs(f.feat_mean - (i % 1000) / 32768.0) < 1e-12
+        else:
+            assert f.media_type == "video/mp4"
+            assert (f.width, f.height) == (i % 640 + 16, i % 360 + 16)
+            assert f.duration_ms == i % 60000 + 1000
+            assert f.feat_mean is None
 
 
 def test_columnwise_lww_partial_updates(spark):
