@@ -2520,6 +2520,16 @@ class LakeTable:
         pk, vcols = list(self.pk), list(self.version_cols)
         pk_types = self._pk_type_names(phys)
         stats_cols = self._stats_cols()
+        # cluster_by: re-sort each collapsed bucket by this column before
+        # chunking, so the bucket's chunk files carry DISJOINT value ranges
+        # and scan_where prunes to O(matching chunks) — the Iceberg
+        # sort-order / ClickHouse ORDER BY analog, applied at compaction
+        # (the merge generations stay pk-sorted; compact is the clusterer).
+        # Trade-off: chunk files are no longer PK-sorted, so keyset_page's
+        # adaptive slice reads more files on clustered tables — choose the
+        # layout per table by its dominant read. PK tie-breaker keeps the
+        # sort total, so reruns are byte-deterministic.
+        cluster_col = self.properties.get("cluster_by")
         schema_names = [f.name for f in phys.fields]
         n_buckets = self.n_buckets
         sid_i = self.manifest["schema_id"]
@@ -2559,6 +2569,15 @@ class LakeTable:
                     )
                     tbl = tbl.select(schema_names)
                     tbl = _arrow_lww_collapse(tbl, pk, vcols, purge_tombstones)
+                    if cluster_col and cluster_col in tbl.schema.names and tbl.num_rows:
+                        import pyarrow.compute as _pc
+
+                        tbl = tbl.take(_pc.sort_indices(
+                            tbl,
+                            sort_keys=[(cluster_col, "ascending")]
+                            + [(c, "ascending") for c in pk],
+                            null_placement="at_start",
+                        ))
                     n_chunks = max(
                         1, (int(in_bytes) + target_file_bytes - 1)
                         // target_file_bytes,

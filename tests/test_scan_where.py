@@ -157,3 +157,55 @@ def test_scan_where_conservative_on_dirty_buckets(spark, tmp_path):
     assert got2.count() == 200
     rows = sorted((r["id"], r["val"]) for r in got2.collect())
     assert rows == [(i, f"d1-{i}") for i in range(200)]
+
+
+def test_cluster_by_compact_tightens_scan_where_pruning(spark, tmp_path):
+    """cluster_by: the per-bucket Arrow compact re-sorts each collapsed
+    bucket by the named column before chunking, so chunk files carry
+    DISJOINT value ranges and scan_where reads strictly fewer files than
+    on the same data compacted un-clustered — with identical results.
+    (The Iceberg sort-order / ClickHouse ORDER BY analog.)"""
+    VSCHEMA = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("ver", T.LongType()),
+        T.StructField("c", T.LongType()),
+        T.StructField("val", T.StringType()),
+    ])
+
+    def mk(root, extra_props):
+        t = LakeTable.create(
+            spark, root, VSCHEMA, pk=["id"], version_cols=["ver"],
+            n_buckets=2,
+            properties={"merge_mode": "append", "stats_cols": ["c"],
+                        # tiny target files -> many chunks per bucket, so
+                        # per-chunk zone maps have something to prune
+                        "target_file_bytes": str(16 * 1024), **extra_props},
+        )
+        # c is hash-scattered: un-clustered chunks all span ~the full c
+        # range; clustered chunks become disjoint slices
+        data = spark.range(20_000).select(
+            F.col("id"), F.lit(1).cast("long").alias("ver"),
+            F.pmod(F.xxhash64("id"), F.lit(100_000)).alias("c"),
+            F.concat(F.lit("v"), F.col("id")).alias("val"),
+        )
+        t.merge(data, fence=("cl", 0))
+        t.compact(purge_tombstones=True)
+        return t
+
+    plain = mk(str(tmp_path / "plain"), {})
+    clustered = mk(str(tmp_path / "clustered"), {"cluster_by": "c"})
+
+    lo, hi = 10_000, 20_000  # ~10% of the c domain
+    got_p = plain.scan_where("c", lo, hi)
+    got_c = clustered.scan_where("c", lo, hi)
+    rows_p = sorted((r["id"], r["c"]) for r in got_p.collect())
+    rows_c = sorted((r["id"], r["c"]) for r in got_c.collect())
+    assert rows_c == rows_p and len(rows_c) > 100
+    n_files_p = len(got_p.inputFiles())
+    n_files_c = len(got_c.inputFiles())
+    total_c = len(clustered.manifest["files"])
+    assert total_c >= 8, f"need multi-chunk buckets, got {total_c}"
+    assert n_files_c < n_files_p, (n_files_c, n_files_p)
+    # disjoint slices: ~10% of the domain should touch a small minority
+    # of the clustered chunks
+    assert n_files_c <= max(2, total_c // 3), (n_files_c, total_c)
