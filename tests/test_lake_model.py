@@ -112,7 +112,7 @@ def test_lake_model_random_operation_interleavings(spark, tmp_path_factory, seed
     table = LakeTable.create(
         spark, root, BASE_SCHEMA, pk=["k"], version_cols=["ver"],
         n_buckets=rng.choice([4, 8]),
-        properties={"merge_mode": mode},
+        properties={"merge_mode": mode, "stats_cols": ["ver"]},
     )
     state: dict = {}
     next_ver = 1
@@ -164,3 +164,28 @@ def test_lake_model_random_operation_interleavings(spark, tmp_path_factory, seed
         elif op == "expire":
             table.expire_snapshots(keep_last=2)
         _check(table, state, has_extra, f"step {i}: {op} (seed {seed})")
+
+    # read-path probes against the same oracle, once per example (every
+    # serving surface must agree with the model over the SAME mixed
+    # history of merges/replays/mutations/evolution/rebuckets):
+    live = {k: v for k, v in state.items() if not v["deleted"]}
+    # 1) bucket-pruned point lookup
+    probe_keys = rng.sample(KEYS, 5)
+    got = {r["k"]: r["val"]
+           for r in table.lookup([{"k": k} for k in probe_keys]).collect()}
+    want = {k: live[k]["val"] for k in probe_keys if k in live}
+    assert got == want, f"lookup divergence (seed {seed}): {got} != {want}"
+    # 2) keyset page: WHERE k > cursor ORDER BY k LIMIT n
+    cursor = rng.choice(KEYS)
+    page = [r["k"] for r in table.keyset_page(cursor, 7).collect()]
+    expect = sorted(k for k in live if k > cursor)[:7]
+    assert page == expect, f"keyset_page divergence (seed {seed}): {page} != {expect}"
+    # 3) changed_since on the leading version column
+    if next_ver > 1:
+        since = rng.randint(1, next_ver)
+        got_cs = {r["k"]: r["ver"]
+                  for r in table.changed_since(since).collect()}
+        want_cs = {k: v["ver"] for k, v in live.items() if v["ver"] >= since}
+        assert got_cs == want_cs, (
+            f"changed_since({since}) divergence (seed {seed}): "
+            f"{got_cs} != {want_cs}")
