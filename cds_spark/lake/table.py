@@ -1518,12 +1518,13 @@ class LakeTable:
         # hot-key spread at salt_n partitions — a workload where one key
         # carries >10% of a batch wants a wider spread and accepts the extra
         # files (compact absorbs them); tools/bench_skew.py measures the trade
-        salt_n = int(
-            self.properties.get(
-                "write.salt_n",
-                max(1, (4 * n_partitions + n_in_df - 1) // n_in_df),
-            )
-        )
+        default_salt_n = max(1, (4 * n_partitions + n_in_df - 1) // n_in_df)
+        try:
+            salt_n = max(1, int(self.properties.get("write.salt_n", default_salt_n)))
+        except (TypeError, ValueError):
+            # a typo'd property must degrade to the default spread, never
+            # kill a production write
+            salt_n = default_salt_n
         # write.salt property: "row" (default) salts by (offset, pk) so a
         # single hot key spreads across salt_n partitions; "auto" = row
         # salt with the spread ADAPTED to the batch's measured hot-key
@@ -2572,12 +2573,18 @@ class LakeTable:
                     if cluster_col and cluster_col in tbl.schema.names and tbl.num_rows:
                         import pyarrow.compute as _pc
 
-                        tbl = tbl.take(_pc.sort_indices(
-                            tbl,
-                            sort_keys=[(cluster_col, "ascending")]
-                            + [(c, "ascending") for c in pk],
-                            null_placement="at_start",
-                        ))
+                        try:
+                            tbl = tbl.take(_pc.sort_indices(
+                                tbl,
+                                sort_keys=[(cluster_col, "ascending")]
+                                + [(c, "ascending") for c in pk],
+                                null_placement="at_start",
+                            ))
+                        except Exception:
+                            # un-sortable cluster column (array/struct/...):
+                            # keep the pk-sorted collapse — clustering is a
+                            # layout optimization, never a compact failure
+                            pass
                     n_chunks = max(
                         1, (int(in_bytes) + target_file_bytes - 1)
                         // target_file_bytes,

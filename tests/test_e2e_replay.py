@@ -487,3 +487,19 @@ def test_auto_salt_widens_spread_for_hot_key_batch(spark, tmp_path):
         max_bucket_files(t_auto), max_bucket_files(t_def))
     _assert_matches_oracle(t_auto, oracle)
     hot.unpersist()
+
+
+def test_malformed_salt_n_property_degrades_not_crashes(spark, tmp_path):
+    """A typo'd write.salt_n must fall back to the default spread — a bad
+    table property can never kill a production write."""
+    root = str(tmp_path / "badsalt")
+    t = LakeTable.create(
+        spark, root, REPO_SCHEMA, pk=["repo", "path"],
+        version_cols=["commit", "_offset"], n_buckets=8,
+        properties={"merge_mode": "append", "write.salt_n": "not-a-number"},
+    )
+    feed = change_feed(spark, 2000, n_repos=10, paths_per_repo=10, seed=3)
+    events = decode_feed(feed, inject={"commit": "commit"})
+    rows, _ = events_to_rows(events, t.schema, t.pk)
+    t.merge(rows, fence=("bs", 0))
+    assert t.current().count() > 0
