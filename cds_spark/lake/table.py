@@ -1721,7 +1721,26 @@ class LakeTable:
         if OFFSET not in out.columns:
             out = out.withColumn(OFFSET, F.lit(0).cast("long"))
         cur = _physical(self.schema)
-        return out.select(*[F.col(f.name).cast(f.dataType).alias(f.name) for f in cur.fields])
+        # column alignment + default fill (parse.go:137-166): a batch whose
+        # schema predates an ALTER ADD COLUMN — an at-least-once replay
+        # from before the evolution, or a source that simply never carried
+        # the column — aligns with NULL for the absent columns instead of
+        # dying on an unresolved reference (found by the stateful model
+        # check: replay of a pre-alter batch after alter_add_columns).
+        # PK/version columns must exist: silently NULL-filling those would
+        # corrupt identity/ordering, so they still raise.
+        have = set(out.columns)
+        required = set(self.pk) | {v for v in self.version_cols if v != OFFSET}
+        missing_required = sorted(required - have)
+        if missing_required:
+            raise ValueError(
+                f"merge batch is missing PK/version column(s) {missing_required}"
+            )
+        return out.select(*[
+            (F.col(f.name) if f.name in have else F.lit(None))
+            .cast(f.dataType).alias(f.name)
+            for f in cur.fields
+        ])
 
     def _fence_applied(self, fence: tuple[str, int]) -> bool:
         job_id, batch_id = fence

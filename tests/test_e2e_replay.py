@@ -503,3 +503,32 @@ def test_malformed_salt_n_property_degrades_not_crashes(spark, tmp_path):
     rows, _ = events_to_rows(events, t.schema, t.pk)
     t.merge(rows, fence=("bs", 0))
     assert t.current().count() > 0
+
+
+def test_merge_aligns_pre_alter_batch_with_null_fill(spark, tmp_path):
+    """Column alignment + default fill (parse.go:137-166): a batch whose
+    schema predates ALTER ADD COLUMN merges with NULL for the absent
+    column (at-least-once replays from before an evolution must not crash
+    the stream); a batch missing a PK or version column still raises."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("ver", T.LongType()),
+        T.StructField("val", T.LongType()),
+    ])
+    t = LakeTable.create(
+        spark, str(tmp_path / "prealter"), schema, pk=["k"],
+        version_cols=["ver"], n_buckets=4,
+    )
+    old_batch = spark.createDataFrame([("a", 1, 10), ("b", 2, 20)], schema)
+    t.merge(old_batch, fence=("pa", 0))
+    t.alter_add_columns([T.StructField("extra", T.LongType())])
+    # replay the pre-alter batch: aligns, extra = NULL, state unchanged
+    t.merge(old_batch, fence=("pa", 1))
+    got = {r["k"]: (r["val"], r["extra"]) for r in t.current().collect()}
+    assert got == {"a": (10, None), "b": (20, None)}
+    # but a missing PK/version column is a caller bug, not alignment
+    with _pytest.raises(ValueError, match="ver"):
+        t.merge(spark.createDataFrame([("a", 5)], "k string, val long"))

@@ -30,7 +30,7 @@ Modeled semantics (the contract, mirroring the reference):
 
 import random
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -105,6 +105,11 @@ def _check(table, state, has_extra: bool, step: str):
 
 @settings(max_examples=5, deadline=None)
 @given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+# seed 44799 found a real bug on its first full-suite run: a pre-alter
+# batch REPLAYED after alter_add_columns crashed merge with an unresolved
+# column instead of aligning-with-NULL (parse.go:137-166 semantics); keep
+# it as a permanent regression example
+@example(seed=44799)
 def test_lake_model_random_operation_interleavings(spark, tmp_path_factory, seed):
     rng = random.Random(seed)
     root = str(tmp_path_factory.mktemp("lakemodel") / f"t{seed}")
