@@ -50,6 +50,7 @@ HEADLINE = [
     "revenue_by_nation",
     "top_orders_per_customer",
     "dedup_minhash_lsh",
+    "dedup_duplicate_spans",
     "dedup_decontaminate",
     "dedup_embedding_lsh",
     "dedup_simhash_signatures",

@@ -710,3 +710,126 @@ SELECT t.doc_id,
 FROM train t LEFT JOIN bench b ON t.s = b.s
 GROUP BY t.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate-span detection (substring-level dedup)
+# ---------------------------------------------------------------------------
+# Doc-level dedup (MinHash/SimHash above) misses the common failure mode of
+# web corpora: two DIFFERENT pages sharing a long verbatim region (boiler-
+# plate, licenses, quoted passages). "Deduplicating Training Data Makes
+# Language Models Better" (Lee et al., 2021) removes exact duplicate
+# substrings with a suffix array; the Spark-native equivalent at token-
+# n-gram granularity: every W-token window is hashed, windows whose hash
+# appears in MORE THAN ONE doc mark their positions, and per-doc position
+# runs merge into maximal duplicated spans.
+
+SPAN_W = 16  # tokens per window
+_SPAN_SEP = "\x1f"  # unit separator: cannot appear in \s+-split tokens
+
+
+def duplicate_spans(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
+    """(doc_id, span_start, span_end, span_tokens): maximal token ranges
+    covered by W-token windows that appear verbatim in at least one OTHER
+    document — the ExactSubstr dedup surface at n-gram granularity
+    (Lee et al. 2021; the reference has no analog, this is a training-data
+    op). A span's tokens can then be cut or the doc down-weighted.
+
+    Plan shape at 100 TB: tokenize+window is one pass (posexplode + a
+    running window per doc — no self-join); the duplicate-hash set is a
+    map-side-combinable groupBy; the hit join shuffles on the gram hash;
+    the interval merge is one window over (doc, pos). The scale lever is
+    winnowing — keep only windows where hash % k == 0 (robust winnowing
+    picks ~1/k positions, spans blur to +-k tokens); k=1 here (exact) since
+    the oracle must be exact."""
+    from pyspark.sql import Window
+
+    toks = (
+        docs.filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "tok"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    grams = toks.select(
+        "doc_id",
+        "pos",
+        F.md5(F.concat_ws(_SPAN_SEP, F.collect_list("tok").over(win))).alias("g"),
+        F.count("*").over(win).alias("n"),
+    ).filter(F.col("n") == w)
+    dup = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("g")
+    )
+    hits = grams.join(dup, "g").select("doc_id", "pos")
+    # merge overlapping/adjacent [pos, pos+w-1] intervals per doc:
+    # gaps-and-islands with a running max of interval ends
+    w2 = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + F.lit(w - 1)).over(
+        w2.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hits.withColumn(
+        "new_island",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), F.lit(1))
+        .otherwise(F.lit(0)),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            w2.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        flagged.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(w - 1)).alias("span_end"),
+        )
+        .withColumn(
+            "span_tokens", F.col("span_end") - F.col("span_start") + F.lit(1)
+        )
+        .select("doc_id", "span_start", "span_end", "span_tokens")
+    )
+
+
+def duplicate_spans_sql(w: int = SPAN_W) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos, lst[CAST(i AS INTEGER)] AS tok
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS lst
+        FROM documents WHERE len(trim(text)) > 0),
+       unnest(generate_series(1, len(lst))) AS u(i)
+),
+grams AS (
+  SELECT doc_id, pos,
+         md5(list_aggregate(list(tok) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING),
+             'string_agg', chr(31))) AS g,
+         count(*) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS n
+  FROM toks
+),
+full_grams AS (SELECT doc_id, pos, g FROM grams WHERE n = {w}),
+dup AS (SELECT g FROM full_grams GROUP BY g HAVING count(DISTINCT doc_id) > 1),
+hits AS (SELECT doc_id, pos FROM full_grams JOIN dup USING (g)),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN max(pos + {w - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                OR pos > max(pos + {w - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+              THEN 1 ELSE 0 END AS new_island
+  FROM hits
+),
+islands AS (
+  SELECT doc_id, pos,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+)
+SELECT doc_id, min(pos) AS span_start, max(pos) + {w - 1} AS span_end,
+       max(pos) + {w - 1} - min(pos) + 1 AS span_tokens
+FROM islands GROUP BY doc_id, island
+"""

@@ -1163,6 +1163,12 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(load(spark, sf_dir, "embeddings"))
 
 
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cds_spark.operators.textdedup import duplicate_spans
+
+    return duplicate_spans(load(spark, sf_dir, "documents"))
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cds_spark.operators.similarity import near_dup_pairs
 
@@ -1483,6 +1489,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk_indexed": q_ann_topk_indexed,
     "ann_cosine_topk_lsh_multiprobe": q_ann_topk_lsh_multiprobe,
     "ann_cosine_topk_ivf": q_ann_topk_ivf,
+    "dedup_duplicate_spans": q_duplicate_spans,
     "text_quality_scores": q_text_quality,
     "text_lang_id": q_lang_id,
     "text_token_counts": q_token_counts,
@@ -1549,6 +1556,7 @@ def _training_oracles() -> dict[str, str]:
         "ann_cosine_topk_indexed": similarity.lsh_bucketed_topk_sql(),
         "ann_cosine_topk_lsh_multiprobe": similarity.lsh_bucketed_topk_multiprobe_sql(),
         "ann_cosine_topk_ivf": similarity.ivf_topk_sql(),
+        "dedup_duplicate_spans": textdedup.duplicate_spans_sql(),
         "text_quality_scores": textstats.QUALITY_SQL,
         "text_lang_id": textstats.LANG_ID_SQL,
         "text_token_counts": textstats.TOKEN_COUNT_SQL,

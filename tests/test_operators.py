@@ -847,3 +847,36 @@ def test_ivf_topk_m1_equals_brute_force_and_sims_exact(spark):
         qv, nv = rows[r.query_id], rows[r.neighbor_id]
         exact = float(np.dot(qv, nv) / (np.linalg.norm(qv) * np.linalg.norm(nv)))
         assert math.isclose(r.cos_sim, round(exact, 6), abs_tol=2e-6)
+
+
+def test_duplicate_spans_planted_passage(spark):
+    """A verbatim passage shared by two docs (different surroundings) is
+    found by duplicate_spans with token-exact boundaries; a doc with no
+    cross-doc duplication yields no spans; per-doc spans are disjoint."""
+    from cds_spark.operators.textdedup import duplicate_spans
+
+    passage = " ".join(f"shared{i}" for i in range(20))  # 20 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + passage + " gamma delta"),
+            (2, "one two three four " + passage),
+            (3, "totally unique tokens " + " ".join(f"u{i}" for i in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {}
+    for r in duplicate_spans(docs, w=16).collect():
+        spans.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    assert 3 not in spans
+    # doc 1: passage occupies token positions [2, 21]; doc 2: [4, 23]
+    assert spans[1] == [(2, 21)]
+    assert spans[2] == [(4, 23)]
+    # disjointness invariant on a corpus with many dup regions
+    docs2 = spark.read.parquet(f"{SF}/documents.parquet")
+    per_doc = {}
+    for r in duplicate_spans(docs2).collect():
+        per_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    for d, ss in per_doc.items():
+        ss.sort()
+        for (s1, e1), (s2, e2) in zip(ss, ss[1:]):
+            assert s2 > e1 + 1, f"non-maximal adjacent spans in doc {d}"
