@@ -728,7 +728,7 @@ SPAN_W = 16  # tokens per window
 _SPAN_SEP = "\x1f"  # unit separator: cannot appear in \s+-split tokens
 
 
-def duplicate_spans(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
+def duplicate_spans(docs: DataFrame, w: int = SPAN_W, winnow_k: int = 1) -> DataFrame:
     """(doc_id, span_start, span_end, span_tokens): maximal token ranges
     covered by W-token windows that appear verbatim in at least one OTHER
     document — the ExactSubstr dedup surface at n-gram granularity
@@ -738,10 +738,15 @@ def duplicate_spans(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
     Plan shape at 100 TB: tokenize+window is one pass (posexplode + a
     running window per doc — no self-join); the duplicate-hash set is a
     map-side-combinable groupBy; the hit join shuffles on the gram hash;
-    the interval merge is one window over (doc, pos). The scale lever is
-    winnowing — keep only windows where hash % k == 0 (robust winnowing
-    picks ~1/k positions, spans blur to +-k tokens); k=1 here (exact) since
-    the oracle must be exact."""
+    the interval merge is one window over (doc, pos). ``winnow_k`` is the
+    scale lever: keep only windows whose (cross-engine stable) hash %
+    winnow_k == 0 — the duplicate-hash table and the hit join shrink ~k×,
+    while a duplicated region of length L still surfaces ~L/k sampled
+    windows (span boundaries blur by up to ±(k-1)+w-1 tokens, and regions
+    shorter than ~k windows can be missed: the standard winnowing
+    recall/cost trade). winnow_k=1 is exact. Sampling is deterministic
+    (a pure function of the window text), so the winnowed operator is
+    DuckDB-oracle-checkable exactly like the exact one."""
     from pyspark.sql import Window
 
     toks = (
@@ -755,9 +760,13 @@ def duplicate_spans(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
     grams = toks.select(
         "doc_id",
         "pos",
-        F.md5(F.concat_ws(_SPAN_SEP, F.collect_list("tok").over(win))).alias("g"),
+        _stable_hash_expr(
+            F.concat_ws(_SPAN_SEP, F.collect_list("tok").over(win))
+        ).alias("g"),
         F.count("*").over(win).alias("n"),
     ).filter(F.col("n") == w)
+    if winnow_k > 1:
+        grams = grams.filter(F.pmod(F.col("g"), F.lit(winnow_k)) == 0)
     dup = (
         grams.groupBy("g")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -794,7 +803,8 @@ def duplicate_spans(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
     )
 
 
-def duplicate_spans_sql(w: int = SPAN_W) -> str:
+def duplicate_spans_sql(w: int = SPAN_W, winnow_k: int = 1) -> str:
+    winnow = f" AND ({_stable_hash_sql('g0')} % {winnow_k}) = 0" if winnow_k > 1 else ""
     return f"""
 WITH toks AS (
   SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos, lst[CAST(i AS INTEGER)] AS tok
@@ -804,14 +814,15 @@ WITH toks AS (
 ),
 grams AS (
   SELECT doc_id, pos,
-         md5(list_aggregate(list(tok) OVER (PARTITION BY doc_id ORDER BY pos
+         list_aggregate(list(tok) OVER (PARTITION BY doc_id ORDER BY pos
              ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING),
-             'string_agg', chr(31))) AS g,
+             'string_agg', chr(31)) AS g0,
          count(*) OVER (PARTITION BY doc_id ORDER BY pos
              ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS n
   FROM toks
 ),
-full_grams AS (SELECT doc_id, pos, g FROM grams WHERE n = {w}),
+full_grams AS (SELECT doc_id, pos, {_stable_hash_sql('g0')} AS g
+               FROM grams WHERE n = {w}{winnow}),
 dup AS (SELECT g FROM full_grams GROUP BY g HAVING count(DISTINCT doc_id) > 1),
 hits AS (SELECT doc_id, pos FROM full_grams JOIN dup USING (g)),
 flagged AS (

@@ -1169,6 +1169,16 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(load(spark, sf_dir, "documents"))
 
 
+def q_duplicate_spans_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The winnowed (hash%4-sampled) scale path of duplicate_spans: ~4x
+    less duplicate-hash state and join traffic; sampling is a
+    deterministic function of the window text, so the DuckDB oracle
+    reproduces it exactly."""
+    from cds_spark.operators.textdedup import duplicate_spans
+
+    return duplicate_spans(load(spark, sf_dir, "documents"), winnow_k=4)
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cds_spark.operators.similarity import near_dup_pairs
 
@@ -1490,6 +1500,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk_lsh_multiprobe": q_ann_topk_lsh_multiprobe,
     "ann_cosine_topk_ivf": q_ann_topk_ivf,
     "dedup_duplicate_spans": q_duplicate_spans,
+    "dedup_duplicate_spans_winnowed": q_duplicate_spans_winnowed,
     "text_quality_scores": q_text_quality,
     "text_lang_id": q_lang_id,
     "text_token_counts": q_token_counts,
@@ -1557,6 +1568,7 @@ def _training_oracles() -> dict[str, str]:
         "ann_cosine_topk_lsh_multiprobe": similarity.lsh_bucketed_topk_multiprobe_sql(),
         "ann_cosine_topk_ivf": similarity.ivf_topk_sql(),
         "dedup_duplicate_spans": textdedup.duplicate_spans_sql(),
+        "dedup_duplicate_spans_winnowed": textdedup.duplicate_spans_sql(winnow_k=4),
         "text_quality_scores": textstats.QUALITY_SQL,
         "text_lang_id": textstats.LANG_ID_SQL,
         "text_token_counts": textstats.TOKEN_COUNT_SQL,

@@ -880,3 +880,24 @@ def test_duplicate_spans_planted_passage(spark):
         ss.sort()
         for (s1, e1), (s2, e2) in zip(ss, ss[1:]):
             assert s2 > e1 + 1, f"non-maximal adjacent spans in doc {d}"
+
+
+def test_winnowed_spans_contained_in_exact_spans(spark):
+    """Every winnowed (hash%k-sampled) duplicate span must lie inside some
+    exact duplicate span — winnowing drops positions, it can never invent
+    duplication; and on a real corpus it still finds most of the dup mass."""
+    from cds_spark.operators.textdedup import duplicate_spans
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    exact = {}
+    for r in duplicate_spans(docs).collect():
+        exact.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    win = [(r.doc_id, r.span_start, r.span_end)
+           for r in duplicate_spans(docs, winnow_k=4).collect()]
+    assert win, "winnowed run found nothing — sampling too aggressive"
+    for d, s, e in win:
+        assert any(s >= s0 and e <= e0 for (s0, e0) in exact.get(d, [])), (
+            f"winnowed span ({d},{s},{e}) outside every exact span")
+    exact_mass = sum(e - s + 1 for ss in exact.values() for (s, e) in ss)
+    win_mass = sum(e - s + 1 for (_, s, e) in win)
+    assert win_mass >= 0.3 * exact_mass, (win_mass, exact_mass)
