@@ -2644,8 +2644,17 @@ class LakeTable:
           the subset paths exist).
 
         ``purge_tombstones`` physically drops deleted rows in the rewritten
-        buckets (safe once the feed can no longer replay versions older
-        than the tombstone). Returns the buckets rewritten.
+        buckets — safe ONLY behind the replay horizon: once the tombstone
+        is gone, an UNFENCED re-merge of an older version of that key
+        resurrects it (LWW has nothing newer to compare against) — the
+        same caveat as ClickHouse ``FINAL ... CLEANUP``. The pipeline's
+        offset fence IS the horizon mechanism: a fenced replay of an
+        already-applied batch is skipped before it can touch data
+        (``test_purged_tombstone_not_resurrected_by_fenced_replay``), so
+        the sync loop's in-loop maintenance may purge freely; only
+        out-of-band unfenced merges of historical data must not follow a
+        purge (found by the stateful model check, seed 9129). Returns the
+        buckets rewritten.
 
         ``strategy`` picks the physical plan:
 

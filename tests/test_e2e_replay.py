@@ -532,3 +532,40 @@ def test_merge_aligns_pre_alter_batch_with_null_fill(spark, tmp_path):
     # but a missing PK/version column is a caller bug, not alignment
     with _pytest.raises(ValueError, match="ver"):
         t.merge(spark.createDataFrame([("a", 5)], "k string, val long"))
+
+
+def test_purged_tombstone_not_resurrected_by_fenced_replay(spark, tmp_path):
+    """The replay-horizon contract of compact(purge_tombstones=True): after
+    a delete's tombstone is physically purged, an at-least-once replay of
+    the OLDER insert batch through the FENCED path is skipped before it
+    can resurrect the key — the fence IS the replay horizon. The same
+    replay unfenced WOULD resurrect (asserted too: that's the documented
+    hazard, not silent corruption)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("ver", T.LongType()),
+        T.StructField("val", T.LongType()),
+    ])
+    t = LakeTable.create(
+        spark, str(tmp_path / "horizon"), schema, pk=["k"],
+        version_cols=["ver"], n_buckets=4,
+        properties={"merge_mode": "append"},
+    )
+    insert_batch = spark.createDataFrame([("a", 1, 10), ("b", 2, 20)], schema)
+    t.merge(insert_batch, fence=("job", 0))
+    delete_batch = spark.createDataFrame(
+        [("a", 3, 10, True)],
+        T.StructType(schema.fields + [T.StructField("_is_delete", T.BooleanType())]),
+    )
+    t.merge(delete_batch, fence=("job", 1))
+    t.compact(purge_tombstones=True)
+    assert {r["k"] for r in t.current().collect()} == {"b"}
+    # fenced replay of the old insert batch: skipped, no resurrection
+    s = t.merge(insert_batch, fence=("job", 0))
+    assert s.skipped
+    assert {r["k"] for r in t.current().collect()} == {"b"}
+    # unfenced replay: resurrects — the documented hazard the fence exists for
+    t.merge(insert_batch)
+    assert {r["k"] for r in t.current().collect()} == {"a", "b"}

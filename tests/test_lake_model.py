@@ -110,6 +110,13 @@ def _check(table, state, has_extra: bool, step: str):
 # column instead of aligning-with-NULL (parse.go:137-166 semantics); keep
 # it as a permanent regression example
 @example(seed=44799)
+# seed 9129 exposed the tombstone/replay-horizon contract: an UNFENCED
+# replay of a pre-purge batch after compact(purge_tombstones=True)
+# resurrects the deleted key (LWW has nothing newer left). The fenced
+# pipeline path is immune (test_purged_tombstone_not_resurrected_by_
+# fenced_replay); the model now clears its replay pool on purge, exactly
+# like the documented operator contract requires of real callers.
+@example(seed=9129)
 def test_lake_model_random_operation_interleavings(spark, tmp_path_factory, seed):
     rng = random.Random(seed)
     root = str(tmp_path_factory.mktemp("lakemodel") / f"t{seed}")
@@ -141,7 +148,15 @@ def test_lake_model_random_operation_interleavings(spark, tmp_path_factory, seed
             # holds the result
             _merge_batch(spark, table, rows, batch_had_extra)
         elif op == "compact":
-            table.compact(purge_tombstones=rng.random() < 0.5)
+            purge = rng.random() < 0.5
+            table.compact(purge_tombstones=purge)
+            if purge:
+                # tombstone purge is only sound behind the replay horizon
+                # (compact docstring; the pipeline's fence enforces it —
+                # test_purged_tombstone_not_resurrected_by_fenced_replay):
+                # an UNFENCED replay of a pre-purge batch would resurrect
+                # deleted keys by design (model-check find, seed 9129)
+                replayable = []
         elif op == "purge":
             targets = rng.sample(KEYS, rng.randint(1, 5))
             table.purge_where(F.col("k").isin(targets))
